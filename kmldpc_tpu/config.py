@@ -1,0 +1,179 @@
+"""Configuration system: dataclasses mirroring the reference's ``config.toml``.
+
+The reference threads a single parsed TOML value through every constructor
+(``/root/reference/kmldpc/kmldpc.cpp:29-40``); its schema has six tables —
+``[range] [decoder] [xcodec] [histogram] [ldpc] [modem]``
+(``/root/reference/config/config.toml:1-33``).  We parse the same schema with
+the standard-library ``tomllib`` into typed dataclasses and add a handful of
+TPU-framework-only knobs under ``[tpu]`` (batch size, dtype, mesh shape), all
+optional with defaults, so every reference config file loads unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tomllib
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class RangeConfig:
+    """SNR sweep + stopping rules (`[range]`, simulator.cc:7-13)."""
+
+    minimum_snr: float = 15.0
+    maximum_snr: float = 15.0
+    step_snr: float = 5.0
+    maximum_error_number: int = 1
+    maximum_block_number: int = 1
+    # In the reference this is the per-task chunk size of the inner thread
+    # pool (simulator.cc:90-100).  Here it is only used as a default for the
+    # device batch size when [tpu].batch is not given.
+    thread_block_number: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """`[decoder]` — known-h (coherent) vs. blind detection (simulator.cc:14)."""
+
+    true_h_arg: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class XCodecConfig:
+    """`[xcodec]` — codec family + ambiguity-metric mode (kmcodec.cc:22-25)."""
+
+    ldpc_5g: bool = False
+    # False => hard metric (count failed parity checks),
+    # True  => soft metric (sum of log soft-syndromes).
+    metric_type: bool = False
+    metric_iter: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class HistogramConfig:
+    """`[histogram]` — dump rotated 4-candidate metric vectors per block."""
+
+    enable: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class LdpcConfig:
+    """`[ldpc]` (binaryldpccodec.cc:70-73)."""
+
+    max_iter: int = 50
+    active: bool = True
+    matrix_file: str = "PEG2304regular0.5.txt"
+
+
+@dataclasses.dataclass(frozen=True)
+class ModemConfig:
+    """`[modem]` (modem.cc:6-8)."""
+
+    modem_file: str = "2bits_QPSK.txt"
+
+
+@dataclasses.dataclass(frozen=True)
+class TpuConfig:
+    """TPU-framework-only knobs (no reference analogue)."""
+
+    # Monte-Carlo chunk size per device launch (codewords per chunk).
+    batch: int = 1024
+    # Compute dtype for the BP decoder / demapper ("float32" | "bfloat16").
+    dtype: str = "float32"
+    # Decoder schedule: "flooding" (reference parity) | "layered-minsum".
+    schedule: str = "flooding"
+    # Normalization factor for min-sum (standard 5G choice).
+    minsum_alpha: float = 0.75
+    # Data-parallel axis size; 0 = use all visible devices.
+    data_parallel: int = 0
+    # Periodic counter checkpoint path ("" disables).
+    checkpoint_path: str = ""
+    # Seed for jax.random; the reference time-seeds (kmldpc.cpp:22-26).
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    range: RangeConfig = dataclasses.field(default_factory=RangeConfig)
+    decoder: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
+    xcodec: XCodecConfig = dataclasses.field(default_factory=XCodecConfig)
+    histogram: HistogramConfig = dataclasses.field(default_factory=HistogramConfig)
+    ldpc: LdpcConfig = dataclasses.field(default_factory=LdpcConfig)
+    modem: ModemConfig = dataclasses.field(default_factory=ModemConfig)
+    tpu: TpuConfig = dataclasses.field(default_factory=TpuConfig)
+    # Directory used to resolve relative asset paths (matrix/modem files).
+    asset_dir: str = ""
+
+    def matrix_path(self) -> str:
+        return _resolve(self.ldpc.matrix_file, self.asset_dir)
+
+    def modem_path(self) -> str:
+        return _resolve(self.modem.modem_file, self.asset_dir)
+
+    def snr_points(self) -> list[float]:
+        """The SNR grid; matches `(max-min)/step + 1` (simulator.cc:27)."""
+        r = self.range
+        n = int((r.maximum_snr - r.minimum_snr) / r.step_snr + 1)
+        return [r.minimum_snr + r.step_snr * i for i in range(n)]
+
+
+def _resolve(path: str, asset_dir: str) -> str:
+    if os.path.isabs(path) or not asset_dir:
+        return path
+    cand = os.path.join(asset_dir, path)
+    return cand if os.path.exists(cand) else path
+
+
+def default_asset_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir, "assets")
+
+
+def _build(cls, table: dict[str, Any], renames: dict[str, str] | None = None):
+    renames = renames or {}
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in table.items():
+        key = renames.get(key, key)
+        if key in fields:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def load_config(path: str, asset_dir: str | None = None) -> Config:
+    """Parse a reference-format ``config.toml`` file."""
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+    return config_from_dict(raw, asset_dir=asset_dir, config_path=path)
+
+
+def config_from_dict(
+    raw: dict[str, Any],
+    asset_dir: str | None = None,
+    config_path: str | None = None,
+) -> Config:
+    if asset_dir is None:
+        # Resolve assets next to the config file first, then the bundled dir.
+        if config_path is not None:
+            cand = os.path.dirname(os.path.abspath(config_path))
+            asset_dir = cand
+        else:
+            asset_dir = default_asset_dir()
+    cfg = Config(
+        range=_build(RangeConfig, raw.get("range", {})),
+        decoder=_build(DecoderConfig, raw.get("decoder", {})),
+        # "5gldpc" is not a valid Python identifier — rename on load.
+        xcodec=_build(XCodecConfig, raw.get("xcodec", {}), {"5gldpc": "ldpc_5g"}),
+        histogram=_build(HistogramConfig, raw.get("histogram", {})),
+        ldpc=_build(LdpcConfig, raw.get("ldpc", {})),
+        modem=_build(ModemConfig, raw.get("modem", {})),
+        tpu=_build(TpuConfig, raw.get("tpu", {})),
+        asset_dir=asset_dir,
+    )
+    # Fall back to the bundled assets if files are not found beside the config.
+    if not os.path.exists(cfg.matrix_path()) or not os.path.exists(cfg.modem_path()):
+        bundled = default_asset_dir()
+        alt = dataclasses.replace(cfg, asset_dir=bundled)
+        if os.path.exists(alt.matrix_path()) and os.path.exists(alt.modem_path()):
+            return alt
+    return cfg
