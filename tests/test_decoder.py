@@ -1,0 +1,141 @@
+"""Flooding BP decoder tests: oracle parity, noiseless recovery, correction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmldpc_tpu import constants
+from kmldpc_tpu.code import compile_code, load_code
+from kmldpc_tpu.code.gf2 import gf2_matvec
+from kmldpc_tpu.decoder import DecoderTables, make_flooding_decoder
+from kmldpc_tpu.decoder.bp import channel_llr_to_columns, count_failed_checks
+from kmldpc_tpu.io.hmatrix import ParityCheckMatrix
+
+from .oracle import bp_decode_prob
+
+
+def hamming74() -> ParityCheckMatrix:
+    h = np.array(
+        [
+            [1, 0, 1, 0, 1, 0, 1],
+            [0, 1, 1, 0, 0, 1, 1],
+            [0, 0, 0, 1, 1, 1, 1],
+        ],
+        dtype=np.uint8,
+    )
+    rows, cols = np.nonzero(h)
+    return ParityCheckMatrix(
+        num_row=3, num_col=7, rank=3, lifting_factor=None,
+        row_idx=rows.astype(np.int32), col_idx=cols.astype(np.int32),
+    )
+
+
+@pytest.fixture(scope="module")
+def ham():
+    return compile_code(hamming74(), name="hamming74")
+
+
+def _llr(p0: np.ndarray) -> np.ndarray:
+    p0 = np.clip(p0, constants.SMALLEST_PROB, 1 - constants.SMALLEST_PROB)
+    return np.log(p0 / (1 - p0))
+
+
+def test_matches_prob_domain_oracle(ham):
+    """LLR-domain decoder == reference prob-domain equations, per iteration."""
+    decode = make_flooding_decoder(ham)
+    rng = np.random.default_rng(0)
+    n_cases = 40
+    p0 = rng.uniform(0.05, 0.95, size=(n_cases, ham.num_col))
+    res = decode(jnp.asarray(_llr(p0), jnp.float32), 10)
+    for i in range(n_cases):
+        cc_exp, conv_exp, iters_exp, ss_exp = bp_decode_prob(ham, p0[i], 10)
+        np.testing.assert_array_equal(
+            np.asarray(res.cc_hat[i]), cc_exp, err_msg=f"case {i}"
+        )
+        assert bool(res.converged[i]) == conv_exp, f"case {i}"
+        assert int(res.iters[i]) == iters_exp, f"case {i}"
+        np.testing.assert_allclose(
+            np.asarray(res.soft_syndrome[i]), ss_exp, rtol=1e-3, atol=1e-5,
+            err_msg=f"case {i}",
+        )
+
+
+def test_noiseless_recovery(ham):
+    rng = np.random.default_rng(1)
+    decode = make_flooding_decoder(ham)
+    uu = rng.integers(0, 2, size=(8, ham.code_dim)).astype(np.uint8)
+    cc = np.stack([ham.encode_reference(u) for u in uu])
+    llr = np.where(cc == 0, constants.LLR_CLIP, -constants.LLR_CLIP)
+    res = decode(jnp.asarray(llr, jnp.float32), 10)
+    np.testing.assert_array_equal(np.asarray(res.uu_hat), cc[:, ham.info_slice])
+    assert np.asarray(res.converged).all()
+    assert (np.asarray(res.iters) == 1).all()
+
+
+def test_corrects_single_flip(ham):
+    """Hamming(7,4) corrects any single hard flip with soft BP."""
+    decode = make_flooding_decoder(ham)
+    rng = np.random.default_rng(2)
+    uu = rng.integers(0, 2, size=ham.code_dim).astype(np.uint8)
+    cc = ham.encode_reference(uu)
+    base = np.where(cc == 0, 4.0, -4.0)
+    llrs = np.tile(base, (ham.num_col, 1))
+    for j in range(ham.num_col):
+        llrs[j, j] = -llrs[j, j] * 0.5  # flipped, weaker confidence
+    res = decode(jnp.asarray(llrs, jnp.float32), 20)
+    np.testing.assert_array_equal(
+        np.asarray(res.uu_hat), np.tile(cc[ham.info_slice], (ham.num_col, 1))
+    )
+    assert np.asarray(res.converged).all()
+
+
+def test_peg2304_noiseless_and_light_noise(assets):
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    decode = jax.jit(make_flooding_decoder(code), static_argnums=1)
+    rng = np.random.default_rng(3)
+    b = 4
+    uu = rng.integers(0, 2, size=(b, code.code_dim)).astype(np.uint8)
+    cc = np.stack([code.encode_reference(u) for u in uu])
+    # BPSK-ish LLRs with gaussian noise at high SNR
+    sig = 1 - 2 * cc.astype(np.float64)  # +1 for bit 0
+    llr = 8.0 * sig + rng.normal(scale=2.0, size=cc.shape)
+    res = decode(jnp.asarray(llr, jnp.float32), 50)
+    np.testing.assert_array_equal(np.asarray(res.uu_hat), uu)
+    assert np.asarray(res.converged).all()
+
+
+def test_5g_puncture_decode(assets):
+    """5G: punctured columns carry prior 0.5; noiseless tx word decodes."""
+    code = load_code(str(assets / "5GLDPCBG2a3_R12_K960.txt"))
+    decode = jax.jit(make_flooding_decoder(code), static_argnums=1)
+    rng = np.random.default_rng(4)
+    b = 2
+    uu = rng.integers(0, 2, size=(b, code.code_dim)).astype(np.uint8)
+    cc = np.stack([code.encode_reference(u) for u in uu])
+    cc_tx = cc[:, code.punct :]
+    llr = np.where(cc_tx == 0, 12.0, -12.0)
+    res = decode(jnp.asarray(llr, jnp.float32), 50)
+    np.testing.assert_array_equal(np.asarray(res.uu_hat), uu)
+    assert np.asarray(res.converged).all()
+
+
+def test_count_failed_checks(ham):
+    t = DecoderTables.from_code(ham)
+    rng = np.random.default_rng(5)
+    uu = rng.integers(0, 2, size=ham.code_dim).astype(np.uint8)
+    cc = ham.encode_reference(uu)
+    h = ham.dense_h()
+    words = np.stack([cc, 1 - cc, rng.integers(0, 2, ham.num_col)])
+    got = np.asarray(count_failed_checks(t, jnp.asarray(words.astype(np.int8))))
+    expect = [int(gf2_matvec(h, w).sum()) for w in words]
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_channel_llr_to_columns_5g(assets):
+    code = load_code(str(assets / "5GLDPCBG2a3_R12_K960.txt"))
+    t = DecoderTables.from_code(code)
+    x = jnp.ones((2, code.tx_len))
+    cols = channel_llr_to_columns(t, x)
+    assert cols.shape == (2, code.num_col)
+    assert not np.asarray(cols[:, : code.punct]).any()
