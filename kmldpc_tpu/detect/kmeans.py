@@ -1,0 +1,112 @@
+"""Blind channel estimation: the "hacked" k-means over received symbols.
+
+Reference: ``KMeans::Run`` (kmeans.cc:14-84).  The clusters are never free —
+after every centroid update they are snapped back to the constellation
+geometry scaled by a single complex gain ĥ ("Form to the constellation
+schema", kmeans.cc:64-74), so the whole loop is really a fixed-point
+iteration on one complex parameter:
+
+    init:  ĥ = y[argmax |y|] / s_0                       (kmeans.cc:17-27)
+    iter:  assign each y_j to nearest cluster s_k·ĥ
+           centroids c_k = mean of assigned points
+           ĥ ← c_anchor / s_0                            (re-projection)
+
+Reference quirks NOT replicated (SURVEY.md section 7 "known quirks"):
+
+* ``idxCount``/``idxSum`` are ``.clear()``-ed then indexed past their size
+  each iteration (kmeans.cc:33-44) — capacity-reliant UB whose de-facto
+  effect is accumulating assignment sums across iterations.  We implement
+  the intended semantics: accumulators zeroed per iteration.
+* The re-anchoring max-|cluster| search iterates over an emptied vector
+  (kmeans.cc:65-68), so ``maxIndex`` collapses to 0 and the de-facto anchor
+  is always cluster 0.  We default to the *intended* max-|centroid| anchor
+  (``anchor="max"``) and provide ``anchor="first"`` for bit-level mimicry of
+  the de-facto behavior.  Either way the reference divides the anchor
+  centroid by s_0 — replicated as-is.
+* Convergence break on exact cluster equality (kmeans.cc:47-54) is dropped:
+  we always run the fixed ``iters`` budget (converged batches are
+  idempotent), which keeps the batched program shape static.
+
+Empty-anchor guard: if the anchor cluster has no members the reference
+produces NaN (0/0); we keep the previous ĥ instead (divergence documented).
+
+The per-iteration assignment + centroid update is one [B·Nsym, M] distance
+computation and two one-hot matmuls — MXU work, batched over the whole
+Monte-Carlo chunk.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.modem import ModemTables
+
+
+def make_blind_estimator(
+    tables: ModemTables, iters: int = 20, anchor: str = "max"
+) -> Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]]:
+    """Returns ``estimate(yr, yi) -> (h4_r, h4_i)``.
+
+    yr/yi: [B, Nsym] received symbols.  Output: the 4 phase-ambiguity
+    candidates ĥ·e^{jkπ/2}, k = 0..3, as [B, 4] arrays
+    (simulator.cc:145-148).
+    """
+    if anchor not in ("max", "first"):
+        raise ValueError(f"anchor must be 'max' or 'first', got {anchor!r}")
+    sr = tables.points_re  # [M]
+    si = tables.points_im
+    m = sr.shape[0]
+    s0_r, s0_i = sr[0], si[0]
+    s0_norm = s0_r * s0_r + s0_i * s0_i
+
+    def estimate(yr: jnp.ndarray, yi: jnp.ndarray):
+        # --- init: point farthest from the origin, anchored to s_0 ---
+        mag2 = yr * yr + yi * yi
+        jstar = jnp.argmax(mag2, axis=1)  # [B]
+        ymax_r = jnp.take_along_axis(yr, jstar[:, None], axis=1)[:, 0]
+        ymax_i = jnp.take_along_axis(yi, jstar[:, None], axis=1)[:, 0]
+        # ĥ = y_max / s_0 (complex division)
+        h_r = (ymax_r * s0_r + ymax_i * s0_i) / s0_norm
+        h_i = (ymax_i * s0_r - ymax_r * s0_i) / s0_norm
+
+        def body(_, h):
+            h_r, h_i = h
+            # clusters s_k·ĥ: [B, M]
+            cr = h_r[:, None] * sr[None, :] - h_i[:, None] * si[None, :]
+            ci = h_r[:, None] * si[None, :] + h_i[:, None] * sr[None, :]
+            dre = yr[:, :, None] - cr[:, None, :]
+            dim = yi[:, :, None] - ci[:, None, :]
+            d2 = dre * dre + dim * dim  # [B, Nsym, M]
+            assign = jnp.argmin(d2, axis=-1)  # [B, Nsym]
+            onehot = jax.nn.one_hot(assign, m, dtype=yr.dtype)  # [B, Nsym, M]
+            counts = jnp.sum(onehot, axis=1)  # [B, M]
+            sum_r = jnp.einsum("bs,bsm->bm", yr, onehot)
+            sum_i = jnp.einsum("bs,bsm->bm", yi, onehot)
+            safe = jnp.maximum(counts, 1.0)
+            cent_r = sum_r / safe
+            cent_i = sum_i / safe
+            if anchor == "first":
+                k = jnp.zeros(yr.shape[0], dtype=jnp.int32)
+            else:
+                cmag = jnp.where(counts > 0, cent_r**2 + cent_i**2, -1.0)
+                k = jnp.argmax(cmag, axis=1)
+            a_r = jnp.take_along_axis(cent_r, k[:, None], axis=1)[:, 0]
+            a_i = jnp.take_along_axis(cent_i, k[:, None], axis=1)[:, 0]
+            a_cnt = jnp.take_along_axis(counts, k[:, None], axis=1)[:, 0]
+            # ĥ ← anchor_centroid / s_0 (reference always divides by s_0)
+            new_r = (a_r * s0_r + a_i * s0_i) / s0_norm
+            new_i = (a_i * s0_r - a_r * s0_i) / s0_norm
+            keep = a_cnt > 0
+            return jnp.where(keep, new_r, h_r), jnp.where(keep, new_i, h_i)
+
+        h_r, h_i = jax.lax.fori_loop(0, iters, body, (h_r, h_i))
+
+        # 4 candidates ĥ·e^{jkπ/2} = ĥ·{1, j, -1, -j} (simulator.cc:146-148)
+        h4_r = jnp.stack([h_r, -h_i, -h_r, h_i], axis=1)
+        h4_i = jnp.stack([h_i, h_r, -h_i, -h_r], axis=1)
+        return h4_r, h4_i
+
+    return estimate

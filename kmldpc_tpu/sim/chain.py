@@ -1,0 +1,133 @@
+"""The per-chunk simulation chain: one jitted program for B codewords.
+
+Mirrors the body of ``Simulator::run_blocks`` (simulator.cc:111-169) — the
+reference's per-block hot loop — as a single batched array program:
+
+    bits -> encode -> map -> channel -> [k-means + ambiguity metrics]
+         -> soft demap -> BP decode -> error counters
+
+The whole chain runs under one ``jax.jit``; the Monte-Carlo harness
+(montecarlo.py) calls it in chunks and applies the stopping rules between
+launches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..code.ldpc import LDPCCode
+from ..config import Config
+from ..decoder.bp import make_flooding_decoder
+from ..detect.kmeans import make_blind_estimator
+from ..detect.metric import make_ambiguity_selector
+from ..io.constellation import Constellation
+from ..ops.channel import fading_awgn_channel
+from ..ops.encode import make_encoder
+from ..ops.modem import ModemTables, make_mapper, make_soft_demapper
+from ..ops.source import random_bits
+
+
+class ChunkResult(NamedTuple):
+    """Counters of one chunk (reference: SourceSink, sourcesink.cc:29-47)."""
+
+    err_bit: jnp.ndarray  # scalar int32
+    err_blk: jnp.ndarray  # scalar int32
+    tot_bit: jnp.ndarray  # scalar int32
+    tot_blk: jnp.ndarray  # scalar int32
+    metrics: jnp.ndarray  # [B, 4] f32 — |metric| table (histogram mode); zeros if known-h
+    iters: jnp.ndarray  # scalar f32 — mean BP iterations executed
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainSpec:
+    """Static recipe for one simulation configuration."""
+
+    code: LDPCCode
+    constellation: Constellation
+    known_h: bool
+    fading: bool
+    metric_type: bool
+    metric_iter: int
+    max_iter: int
+    encoder_active: bool
+    histogram: bool
+    kmeans_iters: int = 20
+    kmeans_anchor: str = "max"
+
+    @staticmethod
+    def from_config(cfg: Config, code: LDPCCode, constellation: Constellation) -> "ChainSpec":
+        return ChainSpec(
+            code=code,
+            constellation=constellation,
+            known_h=cfg.decoder.true_h_arg,
+            fading=True,
+            metric_type=cfg.xcodec.metric_type,
+            metric_iter=cfg.xcodec.metric_iter,
+            max_iter=cfg.ldpc.max_iter,
+            encoder_active=cfg.ldpc.active,
+            histogram=cfg.histogram.enable,
+        )
+
+
+def make_chunk_runner(
+    spec: ChainSpec, batch: int
+) -> Callable[[jax.Array, jnp.ndarray], ChunkResult]:
+    """Build ``run_chunk(key, var) -> ChunkResult`` over ``batch`` codewords.
+
+    ``var`` is the traced noise variance 10^(-SNR/10) (simulator.cc:74), so
+    one compiled program serves every SNR point.
+    """
+    code = spec.code
+    tables = ModemTables.from_constellation(spec.constellation)
+    encode = make_encoder(code, active=spec.encoder_active)
+    map_bits = make_mapper(tables)
+    demap = make_soft_demapper(tables)
+    decode = make_flooding_decoder(code)
+    estimate = make_blind_estimator(tables, spec.kmeans_iters, spec.kmeans_anchor)
+    select = make_ambiguity_selector(code, tables, spec.metric_type, spec.metric_iter)
+
+    def run_chunk(key: jax.Array, var: jnp.ndarray) -> ChunkResult:
+        sigma = jnp.sqrt(var)
+        k_bits, k_chan = jax.random.split(key)
+        uu = random_bits(k_bits, (batch, code.code_dim))
+        if not spec.encoder_active:
+            uu = jnp.zeros_like(uu)  # binaryldpccodec.cc:156-161
+        _, cc_tx = encode(uu)
+        xr, xi = map_bits(cc_tx)
+        yr, yi, hr_true, hi_true = fading_awgn_channel(
+            k_chan, xr, xi, sigma, fading=spec.fading
+        )
+
+        if spec.known_h:
+            hr, hi = hr_true, hi_true
+            metrics = jnp.zeros((batch, 4), jnp.float32)
+        else:
+            h4_r, h4_i = estimate(yr, yi)
+            hr, hi, metrics = select(yr, yi, h4_r, h4_i, var)
+
+        if spec.histogram and not spec.known_h:
+            # histogram mode skips the final decode (simulator.cc:154-163):
+            # only the metric table is of interest.
+            uu_hat = jnp.zeros_like(uu)
+            mean_iters = jnp.float32(0)
+        else:
+            _, chan_llr = demap(yr, yi, hr, hi, var)
+            res = decode(chan_llr, spec.max_iter)
+            uu_hat = res.uu_hat
+            mean_iters = jnp.mean(res.iters.astype(jnp.float32))
+
+        errs = jnp.sum((uu != uu_hat).astype(jnp.int32), axis=1)  # [B]
+        return ChunkResult(
+            err_bit=jnp.sum(errs),
+            err_blk=jnp.sum((errs > 0).astype(jnp.int32)),
+            tot_bit=jnp.int32(batch * code.code_dim),
+            tot_blk=jnp.int32(batch),
+            metrics=metrics,
+            iters=mean_iters,
+        )
+
+    return jax.jit(run_chunk)

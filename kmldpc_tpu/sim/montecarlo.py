@@ -1,0 +1,221 @@
+"""Monte-Carlo harness: SNR sweep, stopping rules, telemetry, checkpointing.
+
+Replaces the reference's two-level thread-pool scheduler
+(``Simulator::{Simulate,run,run_blocks}``, simulator.cc:24-169) with a host
+driver loop around one jitted chunk program:
+
+* SNR points run sequentially against the *same* compiled chunk (the noise
+  variance is a traced argument), instead of one pool thread per SNR.
+* Within an SNR point, chunks of ``batch`` codewords are launched until the
+  reference's stopping rules hit: ``tot_blk >= maximum_block_number`` or
+  ``err_blk >= maximum_error_number`` (simulator.cc:117).  The check runs
+  between chunks, so a sweep can overrun by at most one chunk — the same
+  kind of overrun the reference's in-flight worker blocks produce
+  (documented divergence: chunk-granular instead of block-granular).
+* BER = err_bit/tot_bit and FER = err_blk/tot_blk over all counted blocks
+  (sourcesink.cc:39-46); telemetry lines use the reference's format.
+* Counters are periodically checkpointed to JSON so an interrupted sweep
+  resumes (the reference has no checkpointing — SURVEY.md section 5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..code.ldpc import load_code
+from ..config import Config
+from ..io.constellation import parse_constellation
+from ..utils.logging import SimLogger
+from .chain import ChainSpec, ChunkResult, make_chunk_runner
+
+
+@dataclasses.dataclass
+class SnrResult:
+    snr: float
+    ber: float
+    fer: float
+    tot_blk: int
+    err_blk: int
+    err_bit: int
+    tot_bit: int
+    wall_s: float
+    blocks_per_s: float
+
+
+@dataclasses.dataclass
+class _Counters:
+    tot_blk: int = 0
+    err_blk: int = 0
+    err_bit: int = 0
+    tot_bit: int = 0
+    chunks: int = 0
+
+    @property
+    def ber(self) -> float:
+        return self.err_bit / self.tot_bit if self.tot_bit else 0.0
+
+    @property
+    def fer(self) -> float:
+        return self.err_blk / self.tot_blk if self.tot_blk else 0.0
+
+
+class Simulator:
+    """Config-driven sweep runner (the reference ``Simulator``'s role)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        logger: SimLogger | None = None,
+        runner_factory=make_chunk_runner,
+    ) -> None:
+        self.cfg = cfg
+        self.log = logger or SimLogger(log_dir=None)
+        self.code = load_code(cfg.matrix_path())
+        self.constellation = parse_constellation(cfg.modem_path())
+        self.spec = ChainSpec.from_config(cfg, self.code, self.constellation)
+        # Shape the chunk to the request: a smoke config asking for 1 block
+        # must not pay for a 1024-codeword chunk.
+        self.batch = max(1, min(cfg.tpu.batch, cfg.range.maximum_block_number))
+        self.runner = runner_factory(self.spec, self.batch)
+        self.root_key = jax.random.key(cfg.tpu.seed)
+        self.log.info(
+            f"[{cfg.range.minimum_snr:.3f},{cfg.range.step_snr:.3f},{cfg.range.maximum_snr:.3f}]"
+        )
+        self.log.info(
+            f"[MAX_ERROR_BLK = {cfg.range.maximum_error_number},"
+            f"MAX_BLK = {cfg.range.maximum_block_number}]"
+        )
+        kind = "5G LDPC" if self.code.is_5g else "traditional LDPC"
+        self.log.info(f"Using {kind}.")
+
+    # -- checkpointing ------------------------------------------------------
+    def _ckpt_path(self) -> str:
+        return self.cfg.tpu.checkpoint_path
+
+    def _save_ckpt(self, state: dict) -> None:
+        path = self._ckpt_path()
+        if not path:
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+
+    def _load_ckpt(self) -> dict:
+        path = self._ckpt_path()
+        if path and os.path.exists(path):
+            with open(path) as f:
+                state = json.load(f)
+            if state.get("fingerprint") == self._fingerprint():
+                return state
+            self.log.info("Checkpoint fingerprint mismatch; starting fresh.")
+        return {"fingerprint": self._fingerprint(), "snr": {}}
+
+    def _fingerprint(self) -> str:
+        c = self.cfg
+        return (
+            f"{c.ldpc.matrix_file}|{c.modem.modem_file}|{c.ldpc.max_iter}|"
+            f"{c.decoder.true_h_arg}|{c.xcodec.ldpc_5g}|{c.xcodec.metric_type}|"
+            f"{c.xcodec.metric_iter}|{c.range.maximum_block_number}|"
+            f"{c.range.maximum_error_number}|{self.batch}"
+        )
+
+    # -- main loop ----------------------------------------------------------
+    def run_snr_point(
+        self, snr: float, counters: _Counters | None = None, histogram_file=None
+    ) -> SnrResult:
+        cfg = self.cfg
+        var = 10.0 ** (-0.1 * snr)  # simulator.cc:74 — no rate normalization
+        c = counters or _Counters()
+        t0 = time.monotonic()
+        max_blk = cfg.range.maximum_block_number
+        max_err = cfg.range.maximum_error_number
+        # fold_in rejects negative data; mask to uint32 (negative SNRs).
+        key = jax.random.fold_in(self.root_key, int(round(snr * 1000)) & 0xFFFFFFFF)
+        last_print = c.tot_blk
+        while c.tot_blk < max_blk and c.err_blk < max_err:
+            chunk_key = jax.random.fold_in(key, c.chunks)
+            res: ChunkResult = self.runner(chunk_key, np.float32(var))
+            c.err_bit += int(res.err_bit)
+            c.err_blk += int(res.err_blk)
+            c.tot_bit += int(res.tot_bit)
+            c.tot_blk += int(res.tot_blk)
+            c.chunks += 1
+            if histogram_file is not None:
+                self._write_histogram(histogram_file, np.asarray(res.metrics))
+            # reference prints every 100 blocks (simulator.cc:167)
+            if c.tot_blk - last_print >= 100 or c.tot_blk >= max_blk or c.err_blk >= max_err:
+                self._print_result(snr, c)
+                last_print = c.tot_blk
+        wall = time.monotonic() - t0
+        self._print_result(snr, c)
+        return SnrResult(
+            snr=snr, ber=c.ber, fer=c.fer, tot_blk=c.tot_blk, err_blk=c.err_blk,
+            err_bit=c.err_bit, tot_bit=c.tot_bit, wall_s=wall,
+            blocks_per_s=c.tot_blk / wall if wall > 0 else 0.0,
+        )
+
+    def _print_result(self, snr: float, c: _Counters) -> None:
+        # sourcesink.cc:49-65 format
+        self.log.info(
+            f"SNR = {snr:.3f} Total blk = {c.tot_blk:7d} "
+            f"Error blk = {c.err_blk:7d} Error bit = {c.err_bit:7d} "
+            f"BER = {c.ber:.14f} FER = {c.fer:.14f}"
+        )
+
+    @staticmethod
+    def _write_histogram(f, metrics: np.ndarray) -> None:
+        """Rotated metric rows: minimum first (simulator.cc:154-163)."""
+        mins = metrics.argmin(axis=1)
+        for row, k in zip(metrics, mins):
+            rolled = np.roll(row, -k)
+            f.write(" ".join(f"{v:g}" for v in rolled) + " \n")
+
+    def simulate(self) -> list[SnrResult]:
+        cfg = self.cfg
+        state = self._load_ckpt()
+        results: list[SnrResult] = []
+        for snr in cfg.snr_points():
+            snr_key = f"{snr:.3f}"
+            saved = state["snr"].get(snr_key)
+            if saved and saved.get("done"):
+                c = _Counters(**{k: saved[k] for k in
+                                 ("tot_blk", "err_blk", "err_bit", "tot_bit", "chunks")})
+                self.log.info(f"SNR {snr_key}: restored from checkpoint")
+                results.append(SnrResult(
+                    snr=snr, ber=c.ber, fer=c.fer, tot_blk=c.tot_blk,
+                    err_blk=c.err_blk, err_bit=c.err_bit, tot_bit=c.tot_bit,
+                    wall_s=0.0, blocks_per_s=0.0,
+                ))
+                continue
+            c = _Counters(**{k: saved[k] for k in
+                             ("tot_blk", "err_blk", "err_bit", "tot_bit", "chunks")}) \
+                if saved else _Counters()
+            hist_f = None
+            if cfg.histogram.enable and not cfg.decoder.true_h_arg:
+                hist_f = open(f"histogram_{snr:.6f}.txt", "w")
+            try:
+                r = self.run_snr_point(snr, c, hist_f)
+            finally:
+                if hist_f is not None:
+                    hist_f.close()
+            results.append(r)
+            state["snr"][snr_key] = dict(
+                tot_blk=c.tot_blk, err_blk=c.err_blk, err_bit=c.err_bit,
+                tot_bit=c.tot_bit, chunks=c.chunks, done=True,
+            )
+            self._save_ckpt(state)
+        # final tables (simulator.cc:43-66)
+        self.log.info("BER Result")
+        for r in results:
+            self.log.info(f"{r.snr:.3f} {r.ber:.14f}")
+        self.log.info("FER Result")
+        for r in results:
+            self.log.info(f"{r.snr:.3f} {r.fer:.14f}")
+        return results

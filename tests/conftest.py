@@ -1,30 +1,57 @@
-"""Test harness setup: force an 8-device CPU mesh before JAX is imported.
+"""Test harness setup: pure-CPU JAX with a virtual 8-device mesh.
 
-Real multi-chip hardware is not available in CI; all sharding paths are
-validated on a virtual 8-device CPU mesh (the driver separately dry-runs the
-multi-chip path via ``__graft_entry__.dryrun_multichip``).
+Two environment fixes, both of which must happen before JAX initializes:
+
+1. The ambient environment pins ``JAX_PLATFORMS=axon`` (the real-TPU tunnel)
+   and injects an ``axon`` sitecustomize via PYTHONPATH that routes *every*
+   XLA compilation — even for the CPU backend — through a loopback relay at
+   ~0.4-1.4s/compile.  The sitecustomize runs at interpreter startup, before
+   conftest, so the only clean escape is to re-run pytest once in a child
+   process with a sanitized environment.  The relaunch happens from
+   ``pytest_cmdline_main`` (not conftest import time) so the child's output
+   reaches the terminal instead of pytest's already-started FD capture.
+2. Multi-chip hardware is unavailable in CI; all sharding paths run on a
+   virtual 8-device CPU mesh (the driver separately dry-runs the multi-chip
+   path via ``__graft_entry__.dryrun_multichip``).
 """
 
 import os
+import pathlib
+import sys
 
-# Force CPU: the ambient environment pins JAX_PLATFORMS to the real TPU
-# tunnel, which must never be used from unit tests.
-os.environ["JAX_PLATFORMS"] = "cpu"
-# Every XLA compile round-trips through the axon relay (~0.4s each) even on
-# CPU; the persistent cache makes reruns cheap.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "jax"),
+_SENTINEL = "KMLDPC_TESTS_SANITIZED"
+_SANITIZED = os.environ.get(_SENTINEL) == "1" or "axon" not in os.environ.get(
+    "PYTHONPATH", ""
 )
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
-import pathlib  # noqa: E402
+if _SANITIZED:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+
+def pytest_cmdline_main(config):
+    if _SANITIZED:
+        return None  # proceed normally
+    import subprocess
+
+    env = dict(os.environ)
+    env[_SENTINEL] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and "axon" not in p
+    )
+    if "xla_force_host_platform_device_count" not in env.get("XLA_FLAGS", ""):
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    return subprocess.call(
+        [sys.executable, "-m", "pytest", *config.invocation_params.args], env=env
+    )
+
 
 import pytest  # noqa: E402
 

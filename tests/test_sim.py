@@ -1,0 +1,156 @@
+"""Monte-Carlo harness tests: chain, stopping rules, checkpoint, histogram, CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from kmldpc_tpu.config import Config, load_config
+from kmldpc_tpu.sim import Simulator
+from kmldpc_tpu.sim.chain import ChainSpec, make_chunk_runner
+from kmldpc_tpu.code import load_code
+from kmldpc_tpu.io import parse_constellation
+from kmldpc_tpu.utils.logging import SimLogger
+
+import dataclasses
+
+
+def _cfg(assets, **over) -> Config:
+    cfg = load_config(str(assets / "config.toml"))
+    rng = over.pop("range", {})
+    if rng:
+        cfg = dataclasses.replace(cfg, range=dataclasses.replace(cfg.range, **rng))
+    for section, kv in over.items():
+        cfg = dataclasses.replace(
+            cfg, **{section: dataclasses.replace(getattr(cfg, section), **kv)}
+        )
+    return cfg
+
+
+def test_config_load_reference_schema(assets):
+    cfg = load_config(str(assets / "config.toml"))
+    assert cfg.range.minimum_snr == 15.0
+    assert cfg.ldpc.matrix_file == "PEG2304regular0.5.txt"
+    assert not cfg.xcodec.ldpc_5g
+    assert cfg.snr_points() == [15.0]
+    assert os.path.exists(cfg.matrix_path())
+
+
+def test_chunk_runner_known_h_high_snr(assets):
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    const = parse_constellation(str(assets / "2bits_QPSK.txt"))
+    spec = ChainSpec(
+        code=code, constellation=const, known_h=True, fading=True,
+        metric_type=False, metric_iter=5, max_iter=50,
+        encoder_active=True, histogram=False,
+    )
+    run = make_chunk_runner(spec, batch=16)
+    res = run(jax.random.key(0), np.float32(10 ** (-1.8)))  # 18 dB
+    assert int(res.tot_blk) == 16
+    assert int(res.tot_bit) == 16 * code.code_dim
+    assert int(res.err_blk) == 0
+    assert int(res.err_bit) == 0
+
+
+def test_chunk_runner_blind_16qam(assets):
+    """Blind detection end-to-end: 16QAM resolves all rotations, so at high
+    SNR the blind chain must match the known-h chain (zero errors)."""
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    const = parse_constellation(str(assets / "4bit_16QAM_Gray.txt"))
+    spec = ChainSpec(
+        code=code, constellation=const, known_h=False, fading=True,
+        metric_type=False, metric_iter=5, max_iter=50,
+        encoder_active=True, histogram=False,
+    )
+    run = make_chunk_runner(spec, batch=16)
+    res = run(jax.random.key(3), np.float32(10 ** (-2.4)))  # 24 dB
+    assert int(res.err_blk) == 0, (int(res.err_blk), int(res.err_bit))
+
+
+def test_stopping_rule_max_blocks(assets, tmp_path):
+    cfg = _cfg(
+        assets,
+        range=dict(maximum_block_number=50, maximum_error_number=10**9),
+        decoder=dict(true_h_arg=True),
+        tpu=dict(batch=16),
+    )
+    sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+    r = sim.run_snr_point(15.0)
+    # chunk-granular overrun: 16-block chunks until >= 50 => 64
+    assert r.tot_blk == 64
+    assert sim.batch == 16
+
+
+def test_stopping_rule_max_errors(assets):
+    cfg = _cfg(
+        assets,
+        range=dict(maximum_block_number=10**6, maximum_error_number=5),
+        decoder=dict(true_h_arg=True),
+        tpu=dict(batch=32),
+    )
+    sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+    # -5 dB: every block fails => first chunk already exceeds 5 errors
+    r = sim.run_snr_point(-5.0)
+    assert r.tot_blk == 32
+    assert r.err_blk >= 5
+    assert r.fer == r.err_blk / r.tot_blk
+
+
+def test_checkpoint_resume(assets, tmp_path):
+    ck = str(tmp_path / "ck.json")
+    cfg = _cfg(
+        assets,
+        range=dict(maximum_block_number=20, maximum_error_number=10**9,
+                   minimum_snr=10.0, maximum_snr=15.0, step_snr=5.0),
+        decoder=dict(true_h_arg=True),
+        tpu=dict(batch=16, checkpoint_path=ck),
+    )
+    sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+    results1 = sim.simulate()
+    assert len(results1) == 2
+    state = json.load(open(ck))
+    assert state["snr"]["10.000"]["done"] and state["snr"]["15.000"]["done"]
+    # resume: everything restored, no new compute
+    sim2 = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+    results2 = sim2.simulate()
+    assert [r.tot_blk for r in results2] == [r.tot_blk for r in results1]
+    assert all(r.wall_s == 0.0 for r in results2)
+
+
+def test_histogram_mode(assets, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(
+        assets,
+        range=dict(maximum_block_number=8, maximum_error_number=10**9),
+        decoder=dict(true_h_arg=False),
+        histogram=dict(enable=True),
+        tpu=dict(batch=8),
+    )
+    sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+    sim.simulate()
+    files = [f for f in os.listdir(".") if f.startswith("histogram_")]
+    assert len(files) == 1
+    rows = [line.split() for line in open(files[0]) if line.strip()]
+    assert len(rows) == 8
+    for row in rows:
+        vals = [float(v) for v in row]
+        assert len(vals) == 4
+        assert vals[0] == min(vals)  # rotated: min first (simulator.cc:158-162)
+
+
+def test_cli_smoke(assets, tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "kmldpc_tpu", str(assets / "config.toml"),
+         "--no-log-file", "--seed", "1"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "BER Result" in out.stdout
+    assert "FER Result" in out.stdout
+    assert "Total time cost:" in out.stdout
