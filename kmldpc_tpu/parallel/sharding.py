@@ -1,0 +1,89 @@
+"""Device-mesh parallelism for the Monte-Carlo chain.
+
+The reference's two thread pools (one thread per SNR point, an inner pool
+over block chunks sharing a mutexed counter object — simulator.cc:27-103,
+thread_pool.h) map TPU-natively onto a 1-D device mesh:
+
+* the Monte-Carlo batch dimension is sharded over the ``data`` axis via
+  ``shard_map`` — each device simulates ``batch / D`` codewords with its own
+  counter-derived PRNG key (replacing the reference's racy shared RNG
+  singletons, randnum.cc:89-93);
+* the mutexed ``threadsafe_sourcesink`` aggregation becomes one
+  ``psum`` of the int32 counter pytree over ICI (threadsafe_sourcesink.cc ->
+  jax.lax.psum), so counters land replicated on every device and the host
+  reads them without extra transfers;
+* multi-host runs reuse the same code: ``jax.distributed.initialize`` +
+  ``jax.devices()`` makes the mesh span hosts, with the same psum riding
+  DCN across slices.
+
+The chunk program itself is unchanged — ``make_chunk_runner``'s chain runs
+per shard — so single-chip and multi-chip paths cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..sim.chain import ChainSpec, ChunkResult, build_chain_fn
+
+
+def get_mesh(num_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the visible (or given) devices."""
+    if devices is None:
+        devices = jax.devices()
+        if num_devices is not None:
+            devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def make_sharded_chunk_runner(
+    spec: ChainSpec, batch: int, mesh: Mesh
+) -> Callable[[jax.Array, jnp.ndarray], ChunkResult]:
+    """Build ``run_chunk(key, var)`` sharded over ``mesh``'s ``data`` axis.
+
+    ``batch`` is the *global* chunk size; it must divide evenly by the mesh
+    size.  Counters come back replicated (already psum-reduced); the metric
+    table stays batch-sharded.
+    """
+    ndev = mesh.devices.size
+    if batch % ndev != 0:
+        raise ValueError(f"batch {batch} not divisible by mesh size {ndev}")
+    local_batch = batch // ndev
+    chain = build_chain_fn(spec, local_batch)
+
+    def per_device(keys: jax.Array, var: jnp.ndarray) -> ChunkResult:
+        res = chain(keys[0], var)
+        return ChunkResult(
+            err_bit=jax.lax.psum(res.err_bit, "data"),
+            err_blk=jax.lax.psum(res.err_blk, "data"),
+            tot_bit=jax.lax.psum(res.tot_bit, "data"),
+            tot_blk=jax.lax.psum(res.tot_blk, "data"),
+            metrics=res.metrics,
+            iters=jax.lax.pmean(res.iters, "data"),
+        )
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("data"), P()),
+        out_specs=ChunkResult(
+            err_bit=P(), err_blk=P(), tot_bit=P(), tot_blk=P(),
+            metrics=P("data"), iters=P(),
+        ),
+        # The decoder's while_loop initializes its carries with unvarying
+        # zeros that meet data-sharded values at the first iteration; the
+        # varying-manual-axes checker rejects that mix even though the
+        # program is correct, so it is disabled here.
+        check_vma=False,
+    )
+
+    def run_chunk(key: jax.Array, var: jnp.ndarray) -> ChunkResult:
+        keys = jax.random.split(key, ndev)
+        return sharded(keys, var)
+
+    return jax.jit(run_chunk)

@@ -73,13 +73,14 @@ class ChainSpec:
         )
 
 
-def make_chunk_runner(
+def build_chain_fn(
     spec: ChainSpec, batch: int
 ) -> Callable[[jax.Array, jnp.ndarray], ChunkResult]:
-    """Build ``run_chunk(key, var) -> ChunkResult`` over ``batch`` codewords.
+    """The raw (unjitted) chunk chain; see ``make_chunk_runner``.
 
-    ``var`` is the traced noise variance 10^(-SNR/10) (simulator.cc:74), so
-    one compiled program serves every SNR point.
+    Exposed separately so the sharded runner (parallel/sharding.py) can wrap
+    the identical body in ``shard_map`` — single-chip and multi-chip paths
+    share one implementation.
     """
     code = spec.code
     tables = ModemTables.from_constellation(spec.constellation)
@@ -130,4 +131,15 @@ def make_chunk_runner(
             iters=mean_iters,
         )
 
-    return jax.jit(run_chunk)
+    return run_chunk
+
+
+def make_chunk_runner(
+    spec: ChainSpec, batch: int
+) -> Callable[[jax.Array, jnp.ndarray], ChunkResult]:
+    """Build the jitted ``run_chunk(key, var) -> ChunkResult``.
+
+    ``var`` is a traced noise variance 10^(-SNR/10) (simulator.cc:74), so one
+    compiled program serves every SNR point.
+    """
+    return jax.jit(build_chain_fn(spec, batch))

@@ -72,7 +72,7 @@ class Simulator:
         self,
         cfg: Config,
         logger: SimLogger | None = None,
-        runner_factory=make_chunk_runner,
+        runner_factory=None,
     ) -> None:
         self.cfg = cfg
         self.log = logger or SimLogger(log_dir=None)
@@ -82,7 +82,19 @@ class Simulator:
         # Shape the chunk to the request: a smoke config asking for 1 block
         # must not pay for a 1024-codeword chunk.
         self.batch = max(1, min(cfg.tpu.batch, cfg.range.maximum_block_number))
-        self.runner = runner_factory(self.spec, self.batch)
+        if runner_factory is not None:
+            self.runner = runner_factory(self.spec, self.batch)
+        else:
+            ndev = cfg.tpu.data_parallel or len(jax.devices())
+            if ndev > 1 and self.batch >= ndev:
+                from ..parallel.sharding import get_mesh, make_sharded_chunk_runner
+
+                self.batch -= self.batch % ndev  # make divisible
+                mesh = get_mesh(ndev)
+                self.runner = make_sharded_chunk_runner(self.spec, self.batch, mesh)
+                self.log.info(f"Mesh: {ndev} devices, data-parallel batch {self.batch}")
+            else:
+                self.runner = make_chunk_runner(self.spec, self.batch)
         self.root_key = jax.random.key(cfg.tpu.seed)
         self.log.info(
             f"[{cfg.range.minimum_snr:.3f},{cfg.range.step_snr:.3f},{cfg.range.maximum_snr:.3f}]"
