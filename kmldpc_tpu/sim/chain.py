@@ -57,6 +57,11 @@ class ChainSpec:
     histogram: bool
     kmeans_iters: int = 20
     kmeans_anchor: str = "max"
+    # Final-decode schedule: "flooding" (reference parity) or
+    # "layered-minsum" (standard for 5G; decoder/minsum.py).  Ambiguity
+    # metrics always use the flooding decoder (soft-syndrome semantics).
+    schedule: str = "flooding"
+    minsum_alpha: float = 0.75
 
     @staticmethod
     def from_config(cfg: Config, code: LDPCCode, constellation: Constellation) -> "ChainSpec":
@@ -70,6 +75,8 @@ class ChainSpec:
             max_iter=cfg.ldpc.max_iter,
             encoder_active=cfg.ldpc.active,
             histogram=cfg.histogram.enable,
+            schedule=cfg.tpu.schedule,
+            minsum_alpha=cfg.tpu.minsum_alpha,
         )
 
 
@@ -87,7 +94,14 @@ def build_chain_fn(
     encode = make_encoder(code, active=spec.encoder_active)
     map_bits = make_mapper(tables)
     demap = make_soft_demapper(tables)
-    decode = make_flooding_decoder(code)
+    if spec.schedule == "layered-minsum":
+        from ..decoder.minsum import make_layered_minsum_decoder
+
+        decode = make_layered_minsum_decoder(code, alpha=spec.minsum_alpha)
+    elif spec.schedule == "flooding":
+        decode = make_flooding_decoder(code)
+    else:
+        raise ValueError(f"unknown schedule {spec.schedule!r}")
     estimate = make_blind_estimator(tables, spec.kmeans_iters, spec.kmeans_anchor)
     select = make_ambiguity_selector(code, tables, spec.metric_type, spec.metric_iter)
 

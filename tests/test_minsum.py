@@ -1,0 +1,89 @@
+"""Layered normalized min-sum decoder tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from kmldpc_tpu import constants
+from kmldpc_tpu.code import load_code
+from kmldpc_tpu.decoder.minsum import make_layered_minsum_decoder
+from kmldpc_tpu.io import parse_constellation
+from kmldpc_tpu.ops import ModemTables, fading_awgn_channel, make_encoder, make_mapper, make_soft_demapper, random_bits
+from kmldpc_tpu.sim.chain import ChainSpec, make_chunk_runner
+
+
+@pytest.fixture(scope="module")
+def code5g(assets):
+    return load_code(str(assets / "5GLDPCBG2a3_R12_K960.txt"))
+
+
+def test_noiseless_recovery_5g(code5g):
+    decode = make_layered_minsum_decoder(code5g)
+    rng = np.random.default_rng(0)
+    uu = rng.integers(0, 2, size=(4, code5g.code_dim)).astype(np.uint8)
+    cc = np.stack([code5g.encode_reference(u) for u in uu])
+    llr = np.where(cc[:, code5g.punct :] == 0, 12.0, -12.0).astype(np.float32)
+    res = decode(jax.numpy.asarray(llr), 20)
+    np.testing.assert_array_equal(np.asarray(res.uu_hat), uu)
+    assert np.asarray(res.converged).all()
+
+
+def test_layer_structure_5g(code5g):
+    """Block-row layers must be conflict-free: each column at most once."""
+    z = code5g.lifting_factor
+    n_layers = code5g.num_row // z
+    for l in range(n_layers):
+        rows = slice(l * z, (l + 1) * z)
+        cols = code5g.row_edge_col[rows][code5g.row_mask[rows]]
+        assert len(cols) == len(set(cols.tolist())), f"layer {l} has conflicts"
+
+
+def test_corrects_noise_5g(code5g):
+    decode = make_layered_minsum_decoder(code5g)
+    rng = np.random.default_rng(1)
+    b = 8
+    uu = rng.integers(0, 2, size=(b, code5g.code_dim)).astype(np.uint8)
+    cc = np.stack([code5g.encode_reference(u) for u in uu])
+    sig = 1 - 2 * cc[:, code5g.punct :].astype(np.float64)
+    llr = 5.0 * sig + rng.normal(scale=2.2, size=sig.shape)
+    res = decode(jax.numpy.asarray(llr, jax.numpy.float32), 30)
+    np.testing.assert_array_equal(np.asarray(res.uu_hat), uu)
+    assert np.asarray(res.converged).all()
+
+
+def test_minsum_on_unstructured_peg(assets):
+    """PEG (non-lifted): falls back to flooding min-sum, still decodes."""
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    decode = make_layered_minsum_decoder(code)
+    rng = np.random.default_rng(2)
+    uu = rng.integers(0, 2, size=(4, code.code_dim)).astype(np.uint8)
+    cc = np.stack([code.encode_reference(u) for u in uu])
+    sig = 1 - 2 * cc.astype(np.float64)
+    llr = 6.0 * sig + rng.normal(scale=2.0, size=cc.shape)
+    res = decode(jax.numpy.asarray(llr, jax.numpy.float32), 30)
+    np.testing.assert_array_equal(np.asarray(res.uu_hat), uu)
+
+
+def test_chain_with_minsum_schedule(assets, code5g):
+    """Driver config #3: 5G BG2 + 16QAM Gray + layered min-sum, known h."""
+    const = parse_constellation(str(assets / "4bit_16QAM_Gray.txt"))
+    spec = ChainSpec(
+        code=code5g, constellation=const, known_h=True, fading=True,
+        metric_type=False, metric_iter=5, max_iter=30,
+        encoder_active=True, histogram=False, schedule="layered-minsum",
+    )
+    run = make_chunk_runner(spec, batch=16)
+    res = run(jax.random.key(0), np.float32(10 ** (-2.2)))  # 22 dB
+    assert int(res.tot_blk) == 16
+    assert int(res.err_blk) <= 1, int(res.err_blk)
+
+
+def test_bad_schedule_raises(assets, code5g):
+    const = parse_constellation(str(assets / "4bit_16QAM_Gray.txt"))
+    spec = ChainSpec(
+        code=code5g, constellation=const, known_h=True, fading=True,
+        metric_type=False, metric_iter=5, max_iter=30,
+        encoder_active=True, histogram=False, schedule="nope",
+    )
+    with pytest.raises(ValueError):
+        make_chunk_runner(spec, batch=4)
