@@ -1,0 +1,109 @@
+"""Benchmark: decoded info bits/s/chip at PEG2304 R=1/2 + QPSK, SNR 15 dB.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "info_bits/s", "vs_baseline": N}
+
+The headline number is the *blind-detection* pipeline (k-means + 4-candidate
+ambiguity metrics + flooding BP to 50 iters) — the reference's flagship mode
+— measured in steady state on one chip.  ``vs_baseline`` is the ratio to the
+single-core C++ reference measured on this machine (BASELINE_MEASURED.json:
+296.5 blocks/s blind, 749.5 blocks/s known-h at the same operating point).
+
+Extra context (known-h throughput, chunk latency, batch) goes to stderr so
+stdout stays a single JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+
+def measure(runner, key, var, warmup: int = 2, steps: int = 12) -> float:
+    """Steady-state seconds per chunk, pipelined.
+
+    Chunks are dispatched back-to-back without intermediate syncs — exactly
+    how the Monte-Carlo driver issues them (double-buffered, see
+    sim/montecarlo.py) — so the host<->device round-trip latency overlaps
+    compute instead of being serialized into every chunk.
+    """
+    import jax
+
+    for i in range(warmup):
+        res = runner(jax.random.fold_in(key, i), var)
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    results = [runner(jax.random.fold_in(key, 100 + i), var) for i in range(steps)]
+    jax.block_until_ready(results)
+    return (time.perf_counter() - t0) / steps
+
+
+def main() -> None:
+    import jax
+    import numpy as np
+
+    from kmldpc_tpu.code import load_code
+    from kmldpc_tpu.io import parse_constellation
+    from kmldpc_tpu.sim.chain import ChainSpec, make_chunk_runner
+
+    code = load_code(os.path.join(HERE, "assets", "PEG2304regular0.5.txt"))
+    const = parse_constellation(os.path.join(HERE, "assets", "2bits_QPSK.txt"))
+    snr = 15.0
+    var = np.float32(10.0 ** (-0.1 * snr))
+    batch = int(os.environ.get("KMLDPC_BENCH_BATCH", "1024"))
+    key = jax.random.key(0)
+
+    def build(known_h: bool):
+        spec = ChainSpec(
+            code=code, constellation=const, known_h=known_h, fading=True,
+            metric_type=False, metric_iter=5, max_iter=50,
+            encoder_active=True, histogram=False,
+        )
+        return make_chunk_runner(spec, batch)
+
+    dev = jax.devices()[0]
+    print(f"bench: device={dev} batch={batch} snr={snr}", file=sys.stderr)
+
+    blind = build(known_h=False)
+    t_blind = measure(blind, key, var)
+    blind_bits = batch * code.code_dim / t_blind
+
+    known = build(known_h=True)
+    t_known = measure(known, key, var)
+    known_bits = batch * code.code_dim / t_known
+
+    print(
+        f"bench: blind {batch / t_blind:.0f} blk/s ({blind_bits:.3e} bits/s), "
+        f"known-h {batch / t_known:.0f} blk/s ({known_bits:.3e} bits/s), "
+        f"chunk latency blind {t_blind * 1e3:.1f} ms known {t_known * 1e3:.1f} ms",
+        file=sys.stderr,
+    )
+
+    # Single-core C++ reference at the same operating point
+    # (BASELINE_MEASURED.json).
+    baseline_blind_bits = 296.5 * code.code_dim
+    try:
+        with open(os.path.join(HERE, "BASELINE_MEASURED.json")) as f:
+            baseline_blind_bits = json.load(f)["blind"]["info_bits_per_s"]
+    except Exception:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "blind decoded info bits/s/chip (PEG2304 R=1/2 QPSK, 15 dB, kmeans+metrics+50-iter BP)",
+                "value": round(blind_bits, 1),
+                "unit": "info_bits/s",
+                "vs_baseline": round(blind_bits / baseline_blind_bits, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -64,17 +64,26 @@ def phi(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x < 5.0, small, large)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DecoderTables:
-    """Device-resident static graph tables for one code."""
+    """Graph tables for one code — a pytree whose arrays are passed to the
+    jitted programs as *arguments*, never closed over.
 
-    num_col: int
-    num_row: int
-    num_edges: int
-    code_dim: int
-    punct: int
-    is_5g: bool
-    info_start: int  # uu_hat = cc_hat[info_start : info_start + code_dim]
+    Embedding them as trace-time constants inflates the serialized MLIR by
+    megabytes (PEG8064's tables alone are ~350k integers) and was observed
+    to SIGSEGV the TPU AOT compile helper on the 5.4 MB program it produced;
+    as runtime parameters the program stays small and one compilation serves
+    every code with the same shapes.
+    """
+
+    num_col: int = dataclasses.field(metadata=dict(static=True))
+    num_row: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+    code_dim: int = dataclasses.field(metadata=dict(static=True))
+    punct: int = dataclasses.field(metadata=dict(static=True))
+    is_5g: bool = dataclasses.field(metadata=dict(static=True))
+    info_start: int = dataclasses.field(metadata=dict(static=True))
     edge_col: jnp.ndarray  # [E] int32
     col_edge_idx: jnp.ndarray  # [num_col, dcm] int32 (E = pad)
     row_edge_idx: jnp.ndarray  # [num_row, drm] int32 (E = pad)
@@ -132,15 +141,14 @@ def count_failed_checks(t: DecoderTables, bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(parity, axis=-1).astype(jnp.int32)
 
 
-def make_flooding_decoder(
-    code: LDPCCode,
-) -> Callable[[jnp.ndarray, int], DecodeResult]:
-    """Build ``decode(chan_llr, iter_count) -> DecodeResult``.
+def flooding_decode(
+    t: DecoderTables, chan_llr: jnp.ndarray, iter_count: int
+) -> DecodeResult:
+    """Flooding BP decode; ``t`` is a pytree argument (see DecoderTables).
 
     chan_llr: [B, tx_len] f32 — LLR log(P0/P1) per transmitted bit.
     iter_count must be static (python int) per jit specialization.
     """
-    t = DecoderTables.from_code(code)
     llr_clip = jnp.float32(constants.LLR_CLIP)
 
     def vn_pass(c2v: jnp.ndarray, llr_col: jnp.ndarray):
@@ -182,37 +190,55 @@ def make_flooding_decoder(
         ss = 0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum))
         return c2v_new, ss
 
+    b = chan_llr.shape[0]
+    llr_col = channel_llr_to_columns(t, chan_llr.astype(jnp.float32))
+
+    c2v0 = jnp.zeros((b, t.num_edges), jnp.float32)
+    cc0 = jnp.zeros((b, t.num_col), jnp.int8)
+    conv0 = jnp.zeros((b,), bool)
+    iters0 = jnp.zeros((b,), jnp.int32)
+    ss0 = jnp.ones((b, t.num_row), jnp.float32)
+
+    def cond(state):
+        i, _, _, conv, _, _ = state
+        return jnp.logical_and(i < iter_count, ~jnp.all(conv))
+
+    def body(state):
+        i, c2v, cc_hat, conv, iters, ss = state
+        v2c, hard = vn_pass(c2v, llr_col)
+        # freeze hard decisions of already-converged codewords
+        cc_hat = jnp.where(conv[:, None], cc_hat, hard)
+        ok = syndrome_ok(cc_hat)
+        iters = iters + (~conv).astype(jnp.int32)
+        conv_after = conv | ok
+        c2v_new, ss_new = cn_pass(v2c)
+        # reference skips the CN update once converged (break before it)
+        c2v = jnp.where(conv_after[:, None], c2v, c2v_new)
+        ss = jnp.where(conv_after[:, None], ss, ss_new)
+        return i + 1, c2v, cc_hat, conv_after, iters, ss
+
+    state = (jnp.int32(0), c2v0, cc0, conv0, iters0, ss0)
+    _, _, cc_hat, conv, iters, ss = jax.lax.while_loop(cond, body, state)
+    uu_hat = jax.lax.dynamic_slice_in_dim(cc_hat, t.info_start, t.code_dim, 1)
+    return DecodeResult(uu_hat, cc_hat, conv, iters, ss)
+
+
+_jitted_flooding = jax.jit(flooding_decode, static_argnums=2)
+
+
+def make_flooding_decoder(
+    code: LDPCCode,
+) -> Callable[[jnp.ndarray, int], DecodeResult]:
+    """Standalone decoder bound to one code's tables (test/metric use).
+
+    The tables are passed to the jitted program as runtime arguments — not
+    baked in as constants — so the compiled artifact stays small and is
+    shared across codes with identical table shapes.
+    """
+    t = DecoderTables.from_code(code)
+
     def decode(chan_llr: jnp.ndarray, iter_count: int) -> DecodeResult:
-        b = chan_llr.shape[0]
-        llr_col = channel_llr_to_columns(t, chan_llr.astype(jnp.float32))
+        return _jitted_flooding(t, chan_llr, iter_count)
 
-        c2v0 = jnp.zeros((b, t.num_edges), jnp.float32)
-        cc0 = jnp.zeros((b, t.num_col), jnp.int8)
-        conv0 = jnp.zeros((b,), bool)
-        iters0 = jnp.zeros((b,), jnp.int32)
-        ss0 = jnp.ones((b, t.num_row), jnp.float32)
-
-        def cond(state):
-            i, _, _, conv, _, _ = state
-            return jnp.logical_and(i < iter_count, ~jnp.all(conv))
-
-        def body(state):
-            i, c2v, cc_hat, conv, iters, ss = state
-            v2c, hard = vn_pass(c2v, llr_col)
-            # freeze hard decisions of already-converged codewords
-            cc_hat = jnp.where(conv[:, None], cc_hat, hard)
-            ok = syndrome_ok(cc_hat)
-            iters = iters + (~conv).astype(jnp.int32)
-            conv_after = conv | ok
-            c2v_new, ss_new = cn_pass(v2c)
-            # reference skips the CN update once converged (break before it)
-            c2v = jnp.where(conv_after[:, None], c2v, c2v_new)
-            ss = jnp.where(conv_after[:, None], ss, ss_new)
-            return i + 1, c2v, cc_hat, conv_after, iters, ss
-
-        state = (jnp.int32(0), c2v0, cc0, conv0, iters0, ss0)
-        _, _, cc_hat, conv, iters, ss = jax.lax.while_loop(cond, body, state)
-        uu_hat = jax.lax.dynamic_slice_in_dim(cc_hat, t.info_start, t.code_dim, 1)
-        return DecodeResult(uu_hat, cc_hat, conv, iters, ss)
-
-    return jax.jit(decode, static_argnums=1)
+    decode.tables = t  # type: ignore[attr-defined]
+    return decode

@@ -1,0 +1,181 @@
+"""Edge-major flooding BP: the TPU-optimized layout of decoder/bp.py.
+
+Same algorithm and semantics as ``flooding_decode`` (LLR-domain tanh-rule
+flooding with the reference's clip/freeze behavior — see bp.py), but every
+message array is stored **edge-major**: ``[E, B]`` with the Monte-Carlo
+batch on the minor (lane) dimension.  All graph addressing then becomes
+gathers of *rows* (sublane-major), which XLA lowers to vectorized row
+copies, instead of per-lane gathers along the minor axis — measured ~5x
+faster per iteration at B=1024 on v5e.
+
+Addressing scheme per iteration (gather count: 3):
+  1. col-group gather: c2v rows by ``col_edge_idx`` -> [num_col, dcm, B],
+     summed to column totals (for regular codes dcm == dc and the padded
+     gather degenerates to a reshape-like contiguous copy).
+  2. v2c = llr_col + colsum broadcast back to edges minus c2v — the
+     broadcast uses ``edge_col`` (one row gather of [num_col+1, B]).
+  3. row-group gather by ``row_edge_idx`` for the check-node update; the
+     result scatters back via the ``edge_rowslot`` row gather.
+
+The public entry transposes [B, tx] -> [tx, B] on the way in and back on
+the way out, so callers see the same interface as bp.flooding_decode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+from .bp import DecodeResult, DecoderTables, phi
+
+_PHI_ARG_MIN = 1e-6
+
+
+def flooding_decode_em(
+    t: DecoderTables, chan_llr: jnp.ndarray, iter_count: int
+) -> DecodeResult:
+    """Drop-in replacement for bp.flooding_decode (same result semantics)."""
+    llr_tx = chan_llr.astype(jnp.float32).T  # [tx, B]
+    res = _decode_cols(t, _insert_punct(t, llr_tx), iter_count)
+    return DecodeResult(
+        res.uu_hat.T, res.cc_hat.T, res.converged, res.iters, res.soft_syndrome.T
+    )
+
+
+def _insert_punct(t: DecoderTables, llr_tx: jnp.ndarray) -> jnp.ndarray:
+    if t.punct:
+        b = llr_tx.shape[1]
+        return jnp.concatenate([jnp.zeros((t.punct, b), jnp.float32), llr_tx], axis=0)
+    return llr_tx
+
+
+def _decode_cols(
+    t: DecoderTables, llr_col: jnp.ndarray, iter_count: int
+) -> DecodeResult:
+    """Core loop on column-major LLRs [num_col, B]; returns edge-major result."""
+    llr_clip = jnp.float32(constants.LLR_CLIP)
+    b = llr_col.shape[1]
+
+    zero_row = jnp.zeros((1, b), jnp.float32)
+
+    def vn_pass(c2v):
+        c2v_pad = jnp.concatenate([c2v, zero_row], axis=0)  # [E+1, B]
+        per_col = c2v_pad[t.col_edge_idx]  # [num_col, dcm, B]
+        colsum = jnp.sum(per_col, axis=1)  # [num_col, B]
+        post = llr_col + colsum
+        v2c = post[t.edge_col] - c2v  # [E, B]
+        hard = (post <= 0).astype(jnp.int8)  # [num_col, B]
+        return v2c, hard
+
+    def syndrome_ok(hard):
+        hard_pad = jnp.concatenate(
+            [hard.astype(jnp.int32), jnp.zeros((1, b), jnp.int32)], axis=0
+        )
+        per_row = hard_pad[t.row_edge_col]  # [num_row, drm, B]
+        parity = jnp.sum(per_row, axis=1) % 2
+        return jnp.all(parity == 0, axis=0)  # [B]
+
+    row_mask = t.row_mask[:, :, None]  # [num_row, drm, 1]
+
+    def cn_pass(v2c):
+        v2c_pad = jnp.concatenate([v2c, zero_row], axis=0)
+        per_row = v2c_pad[t.row_edge_idx]  # [num_row, drm, B]
+        sign = jnp.where(per_row < 0, -1.0, 1.0)
+        sign = jnp.where(row_mask > 0, sign, 1.0)
+        mag = jnp.maximum(jnp.abs(per_row), _PHI_ARG_MIN)
+        ph = jnp.where(row_mask > 0, phi(mag), 0.0)
+        phi_sum = jnp.sum(ph, axis=1)  # [num_row, B]
+        sign_prod = jnp.prod(sign, axis=1)
+        excl_phi = jnp.maximum(phi_sum[:, None, :] - ph, constants.SMALLEST_PROB)
+        excl_sign = sign_prod[:, None, :] * sign
+        c2v_row = excl_sign * jnp.minimum(phi(excl_phi), llr_clip)
+        c2v_new = c2v_row.reshape(-1, b)[t.edge_rowslot]  # [E, B]
+        ss = 0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum))  # [num_row, B]
+        return c2v_new, ss
+
+    c2v0 = jnp.zeros((t.num_edges, b), jnp.float32)
+    cc0 = jnp.zeros((t.num_col, b), jnp.int8)
+    conv0 = jnp.zeros((b,), bool)
+    iters0 = jnp.zeros((b,), jnp.int32)
+    ss0 = jnp.ones((t.num_row, b), jnp.float32)
+
+    def cond(state):
+        i, _, _, conv, _, _ = state
+        return jnp.logical_and(i < iter_count, ~jnp.all(conv))
+
+    def body(state):
+        i, c2v, cc_hat, conv, iters, ss = state
+        v2c, hard = vn_pass(c2v)
+        cc_hat = jnp.where(conv[None, :], cc_hat, hard)
+        ok = syndrome_ok(cc_hat)
+        iters = iters + (~conv).astype(jnp.int32)
+        conv_after = conv | ok
+        c2v_new, ss_new = cn_pass(v2c)
+        c2v = jnp.where(conv_after[None, :], c2v, c2v_new)
+        ss = jnp.where(conv_after[None, :], ss, ss_new)
+        return i + 1, c2v, cc_hat, conv_after, iters, ss
+
+    state = (jnp.int32(0), c2v0, cc0, conv0, iters0, ss0)
+    _, _, cc_hat, conv, iters, ss = jax.lax.while_loop(cond, body, state)
+    uu_hat = jax.lax.dynamic_slice_in_dim(cc_hat, t.info_start, t.code_dim, 0)
+    return DecodeResult(uu_hat, cc_hat, conv, iters, ss)
+
+
+def flooding_decode_two_phase(
+    t: DecoderTables,
+    chan_llr: jnp.ndarray,
+    iter_count: int,
+    phase1_iters: int = 12,
+    tile: int = 128,
+) -> DecodeResult:
+    """Exact two-phase flooding decode — bit-identical to
+    :func:`flooding_decode_em`, usually several times cheaper.
+
+    At any SNR where Monte-Carlo needs many blocks, almost every codeword
+    converges within ~10 iterations, but the batched while_loop costs
+    max-iterations on the *whole* batch as long as one codeword is live.
+    Phase 1 therefore runs ``phase1_iters`` on the full batch; phase 2
+    compacts the still-unconverged codewords into ``tile``-sized sub-batches
+    (argsort of the converged mask, dynamic tile loop over however many
+    tiles are needed) and re-decodes each from scratch with the full
+    ``iter_count`` budget.  BP is deterministic, so a codeword that
+    converged at iteration k <= phase1_iters already has exactly the result
+    the full decoder would produce, and a re-decoded codeword follows
+    exactly the full decoder's trajectory — the outputs (including iteration
+    counts and frozen soft syndromes) are identical, only the schedule of
+    wasted work changes.  Worst case (nothing converges early: deep
+    waterfall SNR) costs one extra phase1_iters sweep.
+    """
+    b = chan_llr.shape[0]
+    tile = min(max(8, tile), b)
+    if tile >= b or phase1_iters >= iter_count:
+        # tiny batches / budgets: compaction buys nothing, run single-phase
+        return flooding_decode_em(t, chan_llr, iter_count)
+    llr_col = _insert_punct(t, chan_llr.astype(jnp.float32).T)
+
+    p1 = _decode_cols(t, llr_col, phase1_iters)
+
+    # unconverged-first ordering; stable so tiles are deterministic
+    order = jnp.argsort(p1.converged, stable=True)  # False (unconverged) first
+    n_unconv = jnp.sum(~p1.converged).astype(jnp.int32)
+
+    def tile_cond(state):
+        k = state[0]
+        return k * tile < n_unconv
+
+    def tile_body(state):
+        k, cc_hat, conv, iters, ss = state
+        start = jnp.minimum(k * tile, b - tile)
+        idx = jax.lax.dynamic_slice_in_dim(order, start, tile)  # [tile]
+        sub = _decode_cols(t, llr_col[:, idx], iter_count)
+        cc_hat = cc_hat.at[:, idx].set(sub.cc_hat)
+        conv = conv.at[idx].set(sub.converged)
+        iters = iters.at[idx].set(sub.iters)
+        ss = ss.at[:, idx].set(sub.soft_syndrome)
+        return k + 1, cc_hat, conv, iters, ss
+
+    state = (jnp.int32(0), p1.cc_hat, p1.converged, p1.iters, p1.soft_syndrome)
+    _, cc_hat, conv, iters, ss = jax.lax.while_loop(tile_cond, tile_body, state)
+    uu_hat = jax.lax.dynamic_slice_in_dim(cc_hat, t.info_start, t.code_dim, 0)
+    return DecodeResult(uu_hat.T, cc_hat.T, conv, iters, ss.T)

@@ -60,22 +60,41 @@ def _layer_tables(code: LDPCCode, layer_size: int):
     )
 
 
-def make_layered_minsum_decoder(
-    code: LDPCCode,
-    alpha: float = 0.75,
-    layer_size: int | None = None,
-) -> Callable[[jnp.ndarray, int], DecodeResult]:
-    """Build ``decode(chan_llr, iter_count) -> DecodeResult``.
+import dataclasses
 
-    ``layer_size`` defaults to the lifting factor Z for 5G codes (conflict-
-    free block-row layers) and to ``num_row`` (pure flooding min-sum) for
-    unstructured codes.
-    """
-    t = DecoderTables.from_code(code)
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MinsumTables:
+    """Layered-schedule tables — a pytree passed as a runtime argument (the
+    layer arrays are as big as the edge set; see DecoderTables on why they
+    must not become traced constants)."""
+
+    base: DecoderTables
+    l_edge_idx: jnp.ndarray  # [n_layers, ls, drm] int32
+    l_edge_col: jnp.ndarray  # [n_layers, ls, drm] int32
+    l_mask: jnp.ndarray  # [n_layers, ls, drm] f32
+
+
+def minsum_tables(code: LDPCCode, layer_size: int | None = None) -> MinsumTables:
+    """``layer_size`` defaults to the lifting factor Z for 5G codes
+    (conflict-free block-row layers) and to ``num_row`` (pure flooding
+    min-sum) for unstructured codes."""
     if layer_size is None:
         layer_size = code.lifting_factor if code.is_5g else code.num_row
     l_edge_idx, l_edge_col, l_mask = _layer_tables(code, layer_size)
-    n_layers = l_edge_idx.shape[0]
+    return MinsumTables(
+        base=DecoderTables.from_code(code),
+        l_edge_idx=l_edge_idx, l_edge_col=l_edge_col, l_mask=l_mask,
+    )
+
+
+def layered_minsum_decode(
+    mt: MinsumTables, chan_llr: jnp.ndarray, iter_count: int, alpha: float = 0.75
+) -> DecodeResult:
+    """Layered min-sum decode; ``mt`` is a pytree argument."""
+    t = mt.base
+    l_edge_idx, l_edge_col, l_mask = mt.l_edge_idx, mt.l_edge_col, mt.l_mask
     llr_clip = jnp.float32(constants.LLR_CLIP)
     alpha = jnp.float32(alpha)
     big = jnp.float32(1e30)
@@ -109,44 +128,59 @@ def make_layered_minsum_decoder(
         c2v = c2v_pad.at[:, flat_idx].set(new.reshape(b, -1))[:, :-1]
         return (posterior, c2v), None
 
+    b = chan_llr.shape[0]
+    llr_col = channel_llr_to_columns(t, chan_llr.astype(jnp.float32))
+    post0 = llr_col
+    c2v0 = jnp.zeros((b, t.num_edges), jnp.float32)
+    cc0 = jnp.zeros((b, t.num_col), jnp.int8)
+    conv0 = jnp.zeros((b,), bool)
+    iters0 = jnp.zeros((b,), jnp.int32)
+    ss0 = jnp.ones((b, t.num_row), jnp.float32)
+
+    def syndrome_ok(hard):
+        hard_pad = jnp.concatenate(
+            [hard.astype(jnp.int32), jnp.zeros((b, 1), jnp.int32)], axis=1
+        )
+        parity = jnp.sum(hard_pad[:, t.row_edge_col], axis=-1) % 2
+        return jnp.all(parity == 0, axis=-1)
+
+    def cond(state):
+        i, _, _, _, conv, _ = state
+        return jnp.logical_and(i < iter_count, ~jnp.all(conv))
+
+    def body(state):
+        i, post, c2v, cc_hat, conv, iters = state
+        (post_new, c2v_new), _ = jax.lax.scan(
+            sweep, (post, c2v), (l_edge_idx, l_edge_col, l_mask)
+        )
+        hard = (post_new <= 0).astype(jnp.int8)
+        cc_hat = jnp.where(conv[:, None], cc_hat, hard)
+        ok = syndrome_ok(cc_hat)
+        iters = iters + (~conv).astype(jnp.int32)
+        conv_after = conv | ok
+        post = jnp.where(conv_after[:, None], post, post_new)
+        c2v = jnp.where(conv_after[:, None], c2v, c2v_new)
+        return i + 1, post, c2v, cc_hat, conv_after, iters
+
+    state = (jnp.int32(0), post0, c2v0, cc0, conv0, iters0)
+    _, _, _, cc_hat, conv, iters = jax.lax.while_loop(cond, body, state)
+    uu_hat = jax.lax.dynamic_slice_in_dim(cc_hat, t.info_start, t.code_dim, 1)
+    return DecodeResult(uu_hat, cc_hat, conv, iters, ss0)
+
+
+_jitted_minsum = jax.jit(layered_minsum_decode, static_argnums=(2, 3))
+
+
+def make_layered_minsum_decoder(
+    code: LDPCCode,
+    alpha: float = 0.75,
+    layer_size: int | None = None,
+) -> Callable[[jnp.ndarray, int], DecodeResult]:
+    """Standalone decoder bound to one code's tables (test use)."""
+    mt = minsum_tables(code, layer_size)
+
     def decode(chan_llr: jnp.ndarray, iter_count: int) -> DecodeResult:
-        b = chan_llr.shape[0]
-        llr_col = channel_llr_to_columns(t, chan_llr.astype(jnp.float32))
-        post0 = llr_col
-        c2v0 = jnp.zeros((b, t.num_edges), jnp.float32)
-        cc0 = jnp.zeros((b, t.num_col), jnp.int8)
-        conv0 = jnp.zeros((b,), bool)
-        iters0 = jnp.zeros((b,), jnp.int32)
-        ss0 = jnp.ones((b, t.num_row), jnp.float32)
+        return _jitted_minsum(mt, chan_llr, iter_count, alpha)
 
-        def syndrome_ok(hard):
-            hard_pad = jnp.concatenate(
-                [hard.astype(jnp.int32), jnp.zeros((b, 1), jnp.int32)], axis=1
-            )
-            parity = jnp.sum(hard_pad[:, t.row_edge_col], axis=-1) % 2
-            return jnp.all(parity == 0, axis=-1)
-
-        def cond(state):
-            i, _, _, _, conv, _ = state
-            return jnp.logical_and(i < iter_count, ~jnp.all(conv))
-
-        def body(state):
-            i, post, c2v, cc_hat, conv, iters = state
-            (post_new, c2v_new), _ = jax.lax.scan(
-                sweep, (post, c2v), (l_edge_idx, l_edge_col, l_mask)
-            )
-            hard = (post_new <= 0).astype(jnp.int8)
-            cc_hat = jnp.where(conv[:, None], cc_hat, hard)
-            ok = syndrome_ok(cc_hat)
-            iters = iters + (~conv).astype(jnp.int32)
-            conv_after = conv | ok
-            post = jnp.where(conv_after[:, None], post, post_new)
-            c2v = jnp.where(conv_after[:, None], c2v, c2v_new)
-            return i + 1, post, c2v, cc_hat, conv_after, iters
-
-        state = (jnp.int32(0), post0, c2v0, cc0, conv0, iters0)
-        _, _, _, cc_hat, conv, iters = jax.lax.while_loop(cond, body, state)
-        uu_hat = jax.lax.dynamic_slice_in_dim(cc_hat, t.info_start, t.code_dim, 1)
-        return DecodeResult(uu_hat, cc_hat, conv, iters, ss0)
-
-    return jax.jit(decode, static_argnums=1)
+    decode.tables = mt  # type: ignore[attr-defined]
+    return decode

@@ -39,7 +39,7 @@ from typing import Callable
 import jax.numpy as jnp
 
 from ..code.ldpc import LDPCCode
-from ..decoder.bp import DecoderTables, count_failed_checks, make_flooding_decoder
+from ..decoder.bp import DecoderTables, count_failed_checks, flooding_decode
 from ..ops.modem import ModemTables, make_soft_demapper
 
 
@@ -49,18 +49,17 @@ def make_ambiguity_selector(
     metric_type: bool,
     metric_iter: int,
 ) -> Callable[..., tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
-    """Returns ``select(yr, yi, h4_r, h4_i, var) -> (hr, hi, metrics)``.
+    """Returns ``select(t, yr, yi, h4_r, h4_i, var) -> (hr, hi, metrics)``.
 
+    ``t`` is the code's DecoderTables pytree (runtime argument, see bp.py);
     yr/yi: [B, Nsym]; h4_*: [B, 4] candidates.  Output: the winning
     candidate per codeword ([B] each) and the raw |metric| table [B, 4]
     (used by histogram mode).
     """
     demap = make_soft_demapper(tables)
-    decode = make_flooding_decoder(code)
-    t = DecoderTables.from_code(code)
     needs_decode = metric_type or code.is_5g
 
-    def select(yr, yi, h4_r, h4_i, var):
+    def select(t: DecoderTables, yr, yi, h4_r, h4_i, var):
         b, nsym = yr.shape
         # fold candidates into the batch: [B, 4, Nsym] -> [4B, Nsym]
         yr4 = jnp.broadcast_to(yr[:, None, :], (b, 4, nsym)).reshape(b * 4, nsym)
@@ -75,7 +74,7 @@ def make_ambiguity_selector(
             rr = (bit_p0 > 0.5).astype(jnp.int8)  # NOTE: P(bit=0) > 0.5 -> 1
             metric = count_failed_checks(t, rr).astype(jnp.float32)
         else:
-            res = decode(chan_llr, metric_iter)
+            res = flooding_decode(t, chan_llr, metric_iter)
             if metric_type:
                 # sum of log soft-syndromes (kmcodec.cc:147-155)
                 metric = jnp.sum(jnp.log(res.soft_syndrome), axis=-1)

@@ -25,19 +25,27 @@ import numpy as np
 from ..code.ldpc import LDPCCode
 
 
+def encoder_table(code: LDPCCode) -> jnp.ndarray:
+    """The [K, chk] f32 generator slab — passed to ``encode`` as a runtime
+    argument.  Baking it into the traced program as a constant bloats the
+    serialized MLIR by megabytes (PEG2304: 1152x1152 f32) and was observed
+    to SIGSEGV the TPU AOT compile helper."""
+    return jnp.asarray(code.parity_gen.T.astype(np.float32))
+
+
 def make_encoder(
     code: LDPCCode, active: bool = True
-) -> Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]]:
-    """Returns ``encode(uu) -> (cc_full, cc_tx)``.
+) -> Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]]:
+    """Returns ``encode(uu, gen_t) -> (cc_full, cc_tx)``.
 
-    uu: [B, K] int8.  cc_full: [B, num_col] int8 (pre-puncture codeword).
+    uu: [B, K] int8; gen_t from :func:`encoder_table`.
+    cc_full: [B, num_col] int8 (pre-puncture codeword).
     cc_tx: [B, tx_len] int8 (what enters the mapper).
     """
-    gen_t = jnp.asarray(code.parity_gen.T.astype(np.float32))  # [K, chk]
     punct = code.punct
     is_5g = code.is_5g
 
-    def encode(uu: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def encode(uu: jnp.ndarray, gen_t: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         if not active:
             b = uu.shape[0]
             cc_full = jnp.zeros((b, code.num_col), dtype=jnp.int8)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..sim.chain import ChainSpec, ChunkResult, build_chain_fn
+from ..sim.chain import ChainSpec, ChunkResult, build_chain_fn, make_chain_params
 
 
 def get_mesh(num_devices: int | None = None, devices=None) -> Mesh:
@@ -55,9 +55,10 @@ def make_sharded_chunk_runner(
         raise ValueError(f"batch {batch} not divisible by mesh size {ndev}")
     local_batch = batch // ndev
     chain = build_chain_fn(spec, local_batch)
+    params = make_chain_params(spec)
 
-    def per_device(keys: jax.Array, var: jnp.ndarray) -> ChunkResult:
-        res = chain(keys[0], var)
+    def per_device(p, keys: jax.Array, var: jnp.ndarray) -> ChunkResult:
+        res = chain(p, keys[0], var)
         return ChunkResult(
             err_bit=jax.lax.psum(res.err_bit, "data"),
             err_blk=jax.lax.psum(res.err_blk, "data"),
@@ -65,15 +66,16 @@ def make_sharded_chunk_runner(
             tot_blk=jax.lax.psum(res.tot_blk, "data"),
             metrics=res.metrics,
             iters=jax.lax.pmean(res.iters, "data"),
+            raw=res.raw,
         )
 
     sharded = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P("data"), P()),
+        in_specs=(P(), P("data"), P()),
         out_specs=ChunkResult(
             err_bit=P(), err_blk=P(), tot_bit=P(), tot_blk=P(),
-            metrics=P("data"), iters=P(),
+            metrics=P("data"), iters=P(), raw=P("data"),
         ),
         # The decoder's while_loop initializes its carries with unvarying
         # zeros that meet data-sharded values at the first iteration; the
@@ -82,8 +84,13 @@ def make_sharded_chunk_runner(
         check_vma=False,
     )
 
+    jitted = jax.jit(
+        lambda p, keys, var: sharded(p, keys, var)
+    )
+
     def run_chunk(key: jax.Array, var: jnp.ndarray) -> ChunkResult:
         keys = jax.random.split(key, ndev)
-        return sharded(keys, var)
+        return jitted(params, keys, var)
 
-    return jax.jit(run_chunk)
+    run_chunk.params = params  # type: ignore[attr-defined]
+    return run_chunk

@@ -21,14 +21,33 @@ import jax.numpy as jnp
 
 from ..code.ldpc import LDPCCode
 from ..config import Config
-from ..decoder.bp import make_flooding_decoder
+from ..decoder.bp import DecoderTables, flooding_decode
+from ..decoder.bp_em import flooding_decode_two_phase
+from ..decoder.minsum import MinsumTables, layered_minsum_decode, minsum_tables
 from ..detect.kmeans import make_blind_estimator
 from ..detect.metric import make_ambiguity_selector
 from ..io.constellation import Constellation
 from ..ops.channel import fading_awgn_channel
-from ..ops.encode import make_encoder
+from ..ops.encode import encoder_table, make_encoder
 from ..ops.modem import ModemTables, make_mapper, make_soft_demapper
 from ..ops.source import random_bits
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ChainParams:
+    """All large device arrays of one configuration, passed to the jitted
+    chunk program as runtime arguments.
+
+    Keeping these out of the traced program (where they would be embedded
+    as MLIR constants) is essential: the PEG2304 generator alone is
+    1152x1152 f32 and the resulting 5.4 MB serialized program crashed the
+    TPU AOT compile helper (SIGSEGV) before this refactor.
+    """
+
+    gen_t: jnp.ndarray  # [K, chk] f32 encoder slab
+    dec: DecoderTables
+    ms: MinsumTables | None  # only when schedule == "layered-minsum"
 
 
 class ChunkResult(NamedTuple):
@@ -40,6 +59,13 @@ class ChunkResult(NamedTuple):
     tot_blk: jnp.ndarray  # scalar int32
     metrics: jnp.ndarray  # [B, 4] f32 — |metric| table (histogram mode); zeros if known-h
     iters: jnp.ndarray  # scalar f32 — mean BP iterations executed
+    # Keep-alive: the final DecodeResult (or () in histogram mode).  The
+    # TPU AOT compile helper of the current libtpu build SIGSEGVs when the
+    # decoder's while-loop carries are dead-code-eliminated down to scalar
+    # reductions; returning the full result keeps the loop outputs live and
+    # sidesteps the compiler bug.  The buffers stay on device — the host
+    # never fetches them.
+    raw: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,38 +106,42 @@ class ChainSpec:
         )
 
 
+def make_chain_params(spec: ChainSpec) -> ChainParams:
+    """Device-resident parameter pytree for one configuration."""
+    code = spec.code
+    return ChainParams(
+        gen_t=encoder_table(code),
+        dec=DecoderTables.from_code(code),
+        ms=minsum_tables(code) if spec.schedule == "layered-minsum" else None,
+    )
+
+
 def build_chain_fn(
     spec: ChainSpec, batch: int
-) -> Callable[[jax.Array, jnp.ndarray], ChunkResult]:
-    """The raw (unjitted) chunk chain; see ``make_chunk_runner``.
+) -> Callable[[ChainParams, jax.Array, jnp.ndarray], ChunkResult]:
+    """The raw (unjitted) chunk chain: ``fn(params, key, var)``.
 
     Exposed separately so the sharded runner (parallel/sharding.py) can wrap
     the identical body in ``shard_map`` — single-chip and multi-chip paths
-    share one implementation.
+    share one implementation.  All big arrays arrive via ``params``.
     """
     code = spec.code
     tables = ModemTables.from_constellation(spec.constellation)
     encode = make_encoder(code, active=spec.encoder_active)
     map_bits = make_mapper(tables)
     demap = make_soft_demapper(tables)
-    if spec.schedule == "layered-minsum":
-        from ..decoder.minsum import make_layered_minsum_decoder
-
-        decode = make_layered_minsum_decoder(code, alpha=spec.minsum_alpha)
-    elif spec.schedule == "flooding":
-        decode = make_flooding_decoder(code)
-    else:
+    if spec.schedule not in ("flooding", "layered-minsum"):
         raise ValueError(f"unknown schedule {spec.schedule!r}")
     estimate = make_blind_estimator(tables, spec.kmeans_iters, spec.kmeans_anchor)
     select = make_ambiguity_selector(code, tables, spec.metric_type, spec.metric_iter)
 
-    def run_chunk(key: jax.Array, var: jnp.ndarray) -> ChunkResult:
+    def run_chunk(params: ChainParams, key: jax.Array, var: jnp.ndarray) -> ChunkResult:
         sigma = jnp.sqrt(var)
         k_bits, k_chan = jax.random.split(key)
         uu = random_bits(k_bits, (batch, code.code_dim))
         if not spec.encoder_active:
             uu = jnp.zeros_like(uu)  # binaryldpccodec.cc:156-161
-        _, cc_tx = encode(uu)
+        _, cc_tx = encode(uu, params.gen_t)
         xr, xi = map_bits(cc_tx)
         yr, yi, hr_true, hi_true = fading_awgn_channel(
             k_chan, xr, xi, sigma, fading=spec.fading
@@ -122,8 +152,9 @@ def build_chain_fn(
             metrics = jnp.zeros((batch, 4), jnp.float32)
         else:
             h4_r, h4_i = estimate(yr, yi)
-            hr, hi, metrics = select(yr, yi, h4_r, h4_i, var)
+            hr, hi, metrics = select(params.dec, yr, yi, h4_r, h4_i, var)
 
+        raw = ()
         if spec.histogram and not spec.known_h:
             # histogram mode skips the final decode (simulator.cc:154-163):
             # only the metric table is of interest.
@@ -131,9 +162,20 @@ def build_chain_fn(
             mean_iters = jnp.float32(0)
         else:
             _, chan_llr = demap(yr, yi, hr, hi, var)
-            res = decode(chan_llr, spec.max_iter)
+            if spec.schedule == "layered-minsum":
+                res = layered_minsum_decode(
+                    params.ms, chan_llr, spec.max_iter, spec.minsum_alpha
+                )
+            else:
+                # exact two-phase flooding (bit-identical to the plain
+                # decoder; see decoder/bp_em.py)
+                res = flooding_decode_two_phase(
+                    params.dec, chan_llr, spec.max_iter,
+                    phase1_iters=8, tile=max(8, batch // 8),
+                )
             uu_hat = res.uu_hat
             mean_iters = jnp.mean(res.iters.astype(jnp.float32))
+            raw = tuple(res)
 
         errs = jnp.sum((uu != uu_hat).astype(jnp.int32), axis=1)  # [B]
         return ChunkResult(
@@ -143,6 +185,7 @@ def build_chain_fn(
             tot_blk=jnp.int32(batch),
             metrics=metrics,
             iters=mean_iters,
+            raw=raw,
         )
 
     return run_chunk
@@ -154,6 +197,14 @@ def make_chunk_runner(
     """Build the jitted ``run_chunk(key, var) -> ChunkResult``.
 
     ``var`` is a traced noise variance 10^(-SNR/10) (simulator.cc:74), so one
-    compiled program serves every SNR point.
+    compiled program serves every SNR point; the parameter pytree is bound
+    here and passed as runtime arguments.
     """
-    return jax.jit(build_chain_fn(spec, batch))
+    params = make_chain_params(spec)
+    jitted = jax.jit(build_chain_fn(spec, batch))
+
+    def run_chunk(key: jax.Array, var) -> ChunkResult:
+        return jitted(params, key, var)
+
+    run_chunk.params = params  # type: ignore[attr-defined]
+    return run_chunk

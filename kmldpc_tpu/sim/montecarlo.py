@@ -151,20 +151,35 @@ class Simulator:
         # fold_in rejects negative data; mask to uint32 (negative SNRs).
         key = jax.random.fold_in(self.root_key, int(round(snr * 1000)) & 0xFFFFFFFF)
         last_print = c.tot_blk
-        while c.tot_blk < max_blk and c.err_blk < max_err:
-            chunk_key = jax.random.fold_in(key, c.chunks)
-            res: ChunkResult = self.runner(chunk_key, np.float32(var))
+
+        # Double-buffered dispatch: launch chunk k before reading chunk
+        # k-1's counters, so the device round-trip latency (substantial when
+        # the chip sits behind a network tunnel) overlaps the next chunk's
+        # compute.  The stop condition therefore lags one chunk — the same
+        # chunk-granular overrun already documented above.
+        def consume(res: ChunkResult) -> None:
+            nonlocal last_print
             c.err_bit += int(res.err_bit)
             c.err_blk += int(res.err_blk)
             c.tot_bit += int(res.tot_bit)
             c.tot_blk += int(res.tot_blk)
-            c.chunks += 1
             if histogram_file is not None:
                 self._write_histogram(histogram_file, np.asarray(res.metrics))
             # reference prints every 100 blocks (simulator.cc:167)
             if c.tot_blk - last_print >= 100 or c.tot_blk >= max_blk or c.err_blk >= max_err:
                 self._print_result(snr, c)
                 last_print = c.tot_blk
+
+        pending: ChunkResult | None = None
+        while c.tot_blk < max_blk and c.err_blk < max_err:
+            chunk_key = jax.random.fold_in(key, c.chunks)
+            res: ChunkResult = self.runner(chunk_key, np.float32(var))
+            c.chunks += 1
+            if pending is not None:
+                consume(pending)
+            pending = res
+        if pending is not None:
+            consume(pending)
         wall = time.monotonic() - t0
         self._print_result(snr, c)
         return SnrResult(

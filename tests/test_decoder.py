@@ -139,3 +139,31 @@ def test_channel_llr_to_columns_5g(assets):
     cols = channel_llr_to_columns(t, x)
     assert cols.shape == (2, code.num_col)
     assert not np.asarray(cols[:, : code.punct]).any()
+
+
+def test_two_phase_identical_to_single_phase(assets):
+    """Exact two-phase compaction must be bit-identical (decoder/bp_em.py)."""
+    import jax.numpy as jnp
+    from kmldpc_tpu.decoder.bp_em import flooding_decode_em, flooding_decode_two_phase
+
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    t = DecoderTables.from_code(code)
+    rng = np.random.default_rng(9)
+    b = 64
+    uu = rng.integers(0, 2, size=(b, code.code_dim)).astype(np.uint8)
+    cc = np.stack([code.encode_reference(u) for u in uu])
+    sig = 1 - 2 * cc.astype(np.float64)
+    # mixed convergence: moderate noise so some blocks need many iterations
+    llr = jnp.asarray(3.0 * sig + rng.normal(scale=2.4, size=cc.shape), jnp.float32)
+    r1 = jax.jit(flooding_decode_em, static_argnums=2)(t, llr, 50)
+    r2 = jax.jit(flooding_decode_two_phase, static_argnums=(2, 3, 4))(t, llr, 50, 6, 16)
+    np.testing.assert_array_equal(np.asarray(r1.cc_hat), np.asarray(r2.cc_hat))
+    np.testing.assert_array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
+    np.testing.assert_array_equal(np.asarray(r1.converged), np.asarray(r2.converged))
+    np.testing.assert_allclose(
+        np.asarray(r1.soft_syndrome), np.asarray(r2.soft_syndrome), atol=1e-6
+    )
+    # and the edge-major path agrees with the batch-major reference decoder
+    r0 = make_flooding_decoder(code)(llr, 50)
+    np.testing.assert_array_equal(np.asarray(r0.cc_hat), np.asarray(r1.cc_hat))
+    np.testing.assert_array_equal(np.asarray(r0.iters), np.asarray(r1.iters))

@@ -8,7 +8,9 @@ import pytest
 from kmldpc_tpu.code import load_code
 from kmldpc_tpu.detect import make_ambiguity_selector, make_blind_estimator
 from kmldpc_tpu.io import parse_constellation
+from kmldpc_tpu.decoder.bp import DecoderTables
 from kmldpc_tpu.ops import ModemTables, fading_awgn_channel, make_encoder, make_mapper, random_bits
+from kmldpc_tpu.ops.encode import encoder_table
 
 
 @pytest.fixture(scope="module")
@@ -22,7 +24,7 @@ def setup(assets):
 def _tx(code, tables, key, sigma, batch=8):
     k1, k2 = jax.random.split(jax.random.key(key))
     uu = random_bits(k1, (batch, code.code_dim))
-    _, cc_tx = make_encoder(code)(uu)
+    _, cc_tx = make_encoder(code)(uu, encoder_table(code))
     xr, xi = make_mapper(tables)(cc_tx)
     yr, yi, hr, hi = fading_awgn_channel(k2, xr, xi, sigma, fading=True)
     return uu, yr, yi, hr, hi
@@ -70,7 +72,7 @@ def test_selector_resolves_rotation_mod_pi(setup, metric_type):
     estimate = make_blind_estimator(tables)
     select = make_ambiguity_selector(code, tables, metric_type, metric_iter=5)
     h4_r, h4_i = estimate(yr, yi)
-    sr, si, metrics = jax.jit(select)(yr, yi, h4_r, h4_i, sigma**2)
+    sr, si, metrics = jax.jit(select)(DecoderTables.from_code(code), yr, yi, h4_r, h4_i, sigma**2)
     d_sel = np.minimum(
         np.hypot(np.asarray(sr) - np.asarray(hr), np.asarray(si) - np.asarray(hi)),
         np.hypot(np.asarray(sr) + np.asarray(hr), np.asarray(si) + np.asarray(hi)),
@@ -97,7 +99,7 @@ def test_selector_16qam_resolves_sign(assets):
     estimate = make_blind_estimator(tables)
     select = make_ambiguity_selector(code, tables, False, metric_iter=5)
     h4_r, h4_i = estimate(yr, yi)
-    sr, si, _ = jax.jit(select)(yr, yi, h4_r, h4_i, sigma**2)
+    sr, si, _ = jax.jit(select)(DecoderTables.from_code(code), yr, yi, h4_r, h4_i, sigma**2)
     d_sel = np.hypot(np.asarray(sr) - np.asarray(hr), np.asarray(si) - np.asarray(hi))
     d_best = _best_candidate_err(h4_r, h4_i, hr, hi)
     np.testing.assert_allclose(d_sel, d_best, atol=1e-5)
@@ -112,7 +114,7 @@ def test_selector_5g_hard_metric(assets):
     estimate = make_blind_estimator(tables)
     select = make_ambiguity_selector(code, tables, metric_type=False, metric_iter=5)
     h4_r, h4_i = estimate(yr, yi)
-    sr, si, metrics = jax.jit(select)(yr, yi, h4_r, h4_i, sigma**2)
+    sr, si, metrics = jax.jit(select)(DecoderTables.from_code(code), yr, yi, h4_r, h4_i, sigma**2)
     d_sel = np.hypot(np.asarray(sr) - np.asarray(hr), np.asarray(si) - np.asarray(hi))
     d_best = _best_candidate_err(h4_r, h4_i, hr, hi)
     np.testing.assert_allclose(d_sel, d_best, atol=1e-5)

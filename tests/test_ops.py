@@ -36,10 +36,12 @@ def test_random_bits_distribution():
 
 
 def test_encoder_matches_numpy_oracle(peg):
+    from kmldpc_tpu.ops.encode import encoder_table
+
     rng = np.random.default_rng(0)
     uu = rng.integers(0, 2, size=(4, peg.code_dim)).astype(np.int8)
     encode = make_encoder(peg)
-    cc_full, cc_tx = jax.jit(encode)(jnp.asarray(uu))
+    cc_full, cc_tx = jax.jit(encode)(jnp.asarray(uu), encoder_table(peg))
     cc_full = np.asarray(cc_full)
     for b in range(4):
         np.testing.assert_array_equal(cc_full[b], peg.encode_reference(uu[b]))
@@ -47,18 +49,22 @@ def test_encoder_matches_numpy_oracle(peg):
 
 
 def test_encoder_5g_puncture(assets):
+    from kmldpc_tpu.ops.encode import encoder_table
+
     code = load_code(str(assets / "5GLDPCBG2a3_R12_K960.txt"))
     rng = np.random.default_rng(1)
     uu = rng.integers(0, 2, size=(2, code.code_dim)).astype(np.int8)
-    cc_full, cc_tx = jax.jit(make_encoder(code))(jnp.asarray(uu))
+    cc_full, cc_tx = jax.jit(make_encoder(code))(jnp.asarray(uu), encoder_table(code))
     assert cc_tx.shape == (2, code.tx_len)
     np.testing.assert_array_equal(np.asarray(cc_full)[:, code.punct :], np.asarray(cc_tx))
     np.testing.assert_array_equal(np.asarray(cc_full)[:, : code.code_dim], uu)
 
 
 def test_encoder_inactive_all_zero(peg):
+    from kmldpc_tpu.ops.encode import encoder_table
+
     uu = jnp.ones((3, peg.code_dim), jnp.int8)
-    cc_full, cc_tx = make_encoder(peg, active=False)(uu)
+    cc_full, cc_tx = make_encoder(peg, active=False)(uu, encoder_table(peg))
     assert not np.asarray(cc_full).any()
 
 

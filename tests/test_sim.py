@@ -80,8 +80,9 @@ def test_stopping_rule_max_blocks(assets, tmp_path):
     )
     sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
     r = sim.run_snr_point(15.0)
-    # chunk-granular overrun: 16-block chunks until >= 50 => 64
-    assert r.tot_blk == 64
+    # chunk-granular overrun: 16-block chunks until >= 50, plus one extra
+    # in-flight chunk from the double-buffered dispatch => 80
+    assert r.tot_blk == 80
     assert sim.batch == 16
 
 
@@ -95,7 +96,7 @@ def test_stopping_rule_max_errors(assets):
     sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
     # -5 dB: every block fails => first chunk already exceeds 5 errors
     r = sim.run_snr_point(-5.0)
-    assert r.tot_blk == 32
+    assert r.tot_blk == 64  # stop chunk + one in-flight chunk
     assert r.err_blk >= 5
     assert r.fer == r.err_blk / r.tot_blk
 
@@ -135,7 +136,7 @@ def test_histogram_mode(assets, tmp_path, monkeypatch):
     files = [f for f in os.listdir(".") if f.startswith("histogram_")]
     assert len(files) == 1
     rows = [line.split() for line in open(files[0]) if line.strip()]
-    assert len(rows) == 8
+    assert len(rows) == 16  # requested 8 + one in-flight chunk
     for row in rows:
         vals = [float(v) for v in row]
         assert len(vals) == 4
