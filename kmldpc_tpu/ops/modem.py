@@ -118,3 +118,32 @@ def make_soft_demapper(
         return bit_p0, chan_llr
 
     return demap
+
+
+def make_partition_demapper(tables: ModemTables, num_parts: int):
+    """Soft demapper for per-segment channel gains (``thetaList`` plumbing).
+
+    Mirrors ``ModemLinearSystem::SoftDemodulation`` over a theta list
+    (modemlinearsystem.cc:80-90): symbol j in segment p is demapped against
+    h_p.  hr/hi: [B, num_parts].  This is the *intended* semantics of the
+    reference's partition API (its own >1-partition channel path is broken —
+    see ops/channel.py); with num_parts == 1 it reduces exactly to
+    :func:`make_soft_demapper`.
+    """
+    demap = make_soft_demapper(tables)
+    m = tables.bits_per_symbol
+
+    def demap_parts(yr, yi, hr, hi, var):
+        b, nsym = yr.shape
+        if nsym % num_parts != 0:
+            raise ValueError(f"{nsym} symbols not divisible into {num_parts} parts")
+        seg = nsym // num_parts
+        # fold segments into the batch: [B, P, seg] -> [B*P, seg]
+        yr_f = yr.reshape(b * num_parts, seg)
+        yi_f = yi.reshape(b * num_parts, seg)
+        hr_f = hr.reshape(b * num_parts)
+        hi_f = hi.reshape(b * num_parts)
+        p0, llr = demap(yr_f, yi_f, hr_f, hi_f, var)
+        return p0.reshape(b, nsym * m), llr.reshape(b, nsym * m)
+
+    return demap_parts
