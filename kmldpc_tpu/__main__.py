@@ -30,7 +30,23 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     t0 = time.monotonic()
-    logger = SimLogger(log_dir=None if args.no_log_file else args.log_dir)
+    from .parallel.distributed import is_primary, maybe_initialize
+
+    multiproc = maybe_initialize()
+    primary = is_primary()
+    # secondary hosts run the same loop silently (counters are replicated,
+    # so their stop decisions match process 0's)
+    logger = SimLogger(
+        log_dir=None if (args.no_log_file or not primary) else args.log_dir,
+        stdout=primary,
+    )
+    if multiproc and primary:
+        import jax
+
+        logger.info(
+            f"Distributed: {jax.process_count()} processes, "
+            f"{len(jax.devices())} devices total"
+        )
     logger.info("Start simulation")
     try:
         cfg = load_config(args.config)

@@ -91,6 +91,10 @@ class TpuConfig:
     checkpoint_path: str = ""
     # Seed for jax.random; the reference time-seeds (kmldpc.cpp:22-26).
     seed: int = 0
+    # jax.profiler trace output directory ("" disables). The reference has
+    # wall-clock timing only (kmldpc.cpp:11-12); this captures full XLA
+    # traces viewable in TensorBoard/Perfetto.
+    profile_dir: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

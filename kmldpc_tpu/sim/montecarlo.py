@@ -165,6 +165,12 @@ class Simulator:
             c.tot_blk += int(res.tot_blk)
             if histogram_file is not None:
                 self._write_histogram(histogram_file, np.asarray(res.metrics))
+            # per-chunk chatter goes to the log file only, like the
+            # reference's per-block lines (simulator.cc:124-126)
+            self.log.info(
+                f"chunk {c.chunks}: mean BP iters = {float(res.iters):.2f}",
+                to_stdout=False,
+            )
             # reference prints every 100 blocks (simulator.cc:167)
             if c.tot_blk - last_print >= 100 or c.tot_blk >= max_blk or c.err_blk >= max_err:
                 self._print_result(snr, c)
@@ -205,6 +211,14 @@ class Simulator:
             f.write(" ".join(f"{v:g}" for v in rolled) + " \n")
 
     def simulate(self) -> list[SnrResult]:
+        if self.cfg.tpu.profile_dir:
+            import jax.profiler
+
+            with jax.profiler.trace(self.cfg.tpu.profile_dir):
+                return self._simulate()
+        return self._simulate()
+
+    def _simulate(self) -> list[SnrResult]:
         cfg = self.cfg
         state = self._load_ckpt()
         results: list[SnrResult] = []
