@@ -84,6 +84,11 @@ class DecoderTables:
     punct: int = dataclasses.field(metadata=dict(static=True))
     is_5g: bool = dataclasses.field(metadata=dict(static=True))
     info_start: int = dataclasses.field(metadata=dict(static=True))
+    # Regular-code fast path (see bp_em._decode_cols_regular): constant
+    # column degree dc / row degree dr make both groupings pure reshapes;
+    # only the interleaver permutation remains as gathers.
+    dc: int = dataclasses.field(metadata=dict(static=True))  # 0 if irregular
+    dr: int = dataclasses.field(metadata=dict(static=True))  # 0 if irregular
     edge_col: jnp.ndarray  # [E] int32
     col_edge_idx: jnp.ndarray  # [num_col, dcm] int32 (E = pad)
     row_edge_idx: jnp.ndarray  # [num_row, drm] int32 (E = pad)
@@ -91,9 +96,14 @@ class DecoderTables:
     edge_rowslot: jnp.ndarray  # [E] int32 into flattened [num_row*drm]
     row_edge_col: jnp.ndarray  # [num_row, drm] int32 (num_col = pad)
 
+    @property
+    def is_regular(self) -> bool:
+        return self.dc > 0
+
     @staticmethod
     def from_code(code: LDPCCode) -> "DecoderTables":
         info_start = 0 if code.is_5g else code.code_chk
+        regular = bool(code.col_mask.all() and code.row_mask.all())
         return DecoderTables(
             num_col=code.num_col,
             num_row=code.num_row,
@@ -102,6 +112,8 @@ class DecoderTables:
             punct=code.punct,
             is_5g=code.is_5g,
             info_start=info_start,
+            dc=code.dc_max if regular else 0,
+            dr=code.dr_max if regular else 0,
             edge_col=jnp.asarray(code.edge_col),
             col_edge_idx=jnp.asarray(code.col_edge_idx),
             row_edge_idx=jnp.asarray(code.row_edge_idx),
