@@ -95,6 +95,13 @@ class DecoderTables:
     row_mask: jnp.ndarray  # [num_row, drm] f32 (1 = real edge)
     edge_rowslot: jnp.ndarray  # [E] int32 into flattened [num_row*drm]
     row_edge_col: jnp.ndarray  # [num_row, drm] int32 (num_col = pad)
+    # Slot-major permutations for the regular fast path (bp_em): with
+    # messages stored [deg, nodes, B], merging the two leading axes is a
+    # free reshape (no retiling), so these are the only data movement.
+    # perm_sm_r2c[p] = slot-major col-flat index of the edge at slot-major
+    # row-flat position p; perm_sm_c2r is the inverse. Empty if irregular.
+    perm_sm_r2c: jnp.ndarray  # [E] int32
+    perm_sm_c2r: jnp.ndarray  # [E] int32
 
     @property
     def is_regular(self) -> bool:
@@ -104,6 +111,22 @@ class DecoderTables:
     def from_code(code: LDPCCode) -> "DecoderTables":
         info_start = 0 if code.is_5g else code.code_chk
         regular = bool(code.col_mask.all() and code.row_mask.all())
+        if regular:
+            dc, dr = code.dc_max, code.dr_max
+            e_idx = np.arange(code.num_edges, dtype=np.int64)
+            # col-sorted order: edge e = (col e//dc, slot e%dc)
+            col_sm = (e_idx % dc) * code.num_col + e_idx // dc
+            # row side: edge_rowslot[e] = r*dr + s
+            r = code.edge_rowslot // dr
+            s = code.edge_rowslot % dr
+            row_sm = s.astype(np.int64) * code.num_row + r.astype(np.int64)
+            perm_sm_r2c = np.empty(code.num_edges, dtype=np.int32)
+            perm_sm_r2c[row_sm] = col_sm.astype(np.int32)
+            perm_sm_c2r = np.empty(code.num_edges, dtype=np.int32)
+            perm_sm_c2r[col_sm] = row_sm.astype(np.int32)
+        else:
+            perm_sm_r2c = np.zeros(0, dtype=np.int32)
+            perm_sm_c2r = np.zeros(0, dtype=np.int32)
         return DecoderTables(
             num_col=code.num_col,
             num_row=code.num_row,
@@ -120,6 +143,8 @@ class DecoderTables:
             row_mask=jnp.asarray(code.row_mask.astype(np.float32)),
             edge_rowslot=jnp.asarray(code.edge_rowslot),
             row_edge_col=jnp.asarray(code.row_edge_col),
+            perm_sm_r2c=jnp.asarray(perm_sm_r2c),
+            perm_sm_c2r=jnp.asarray(perm_sm_c2r),
         )
 
 

@@ -76,44 +76,38 @@ def _decode_cols_regular(
     llr_clip = jnp.float32(constants.LLR_CLIP)
     b = llr_col.shape[1]
     dc, dr = t.dc, t.dr
-    # col-layout -> row-layout permutation and inverse (no pad entries for
-    # a regular code)
-    perm_c2r = t.edge_rowslot  # [E]: row-layout flat position of edge e
-    perm_r2c = t.row_edge_idx.reshape(-1)  # [E]: edge index of row-layout p
+    nc, nr = t.num_col, t.num_row
 
     def body(state):
-        i, c2v, cc_hat, conv, iters, ss = state
-        # --- VN (col layout) ---
-        c2v_grp = c2v.reshape(t.num_col, dc, b)
-        colsum = jnp.sum(c2v_grp, axis=1)  # [num_col, B]
+        i, c2v, cc_hat, conv, iters, ss = state  # c2v: [dc, nc, B] slot-major
+        # --- VN (slot-major col layout; reductions over the leading axis) ---
+        colsum = jnp.sum(c2v, axis=0)  # [nc, B]
         post = llr_col + colsum
-        v2c = jnp.repeat(post, dc, axis=0) - c2v  # [E, B]
+        v2c = post[None, :, :] - c2v  # [dc, nc, B]
         hard = (post <= 0).astype(jnp.int8)
         cc_hat = jnp.where(conv[None, :], cc_hat, hard)
-        # --- permute to row layout ---
-        v2c_row = v2c[perm_r2c]  # [E, B] in row order
-        c2v_row = c2v[perm_r2c]
-        # --- syndrome in the row domain (uses pre-update messages) ---
+        # --- permute to slot-major row layout (free flatten + row gather) ---
+        v2c_row = v2c.reshape(-1, b)[t.perm_sm_r2c].reshape(dr, nr, b)
+        c2v_row = c2v.reshape(-1, b)[t.perm_sm_r2c].reshape(dr, nr, b)
+        # --- syndrome in the row domain (pre-update messages) ---
         hard_edge = ((v2c_row + c2v_row) <= 0).astype(jnp.int32)
-        parity = jnp.sum(hard_edge.reshape(t.num_row, dr, b), axis=1) % 2
+        parity = jnp.sum(hard_edge, axis=0) % 2  # [nr, B]
         ok = jnp.all(parity == 0, axis=0)
-        # respect freezing: a frozen codeword keeps its converged status
         iters = iters + (~conv).astype(jnp.int32)
         conv_after = conv | ok
-        # --- CN (row layout) ---
-        grp = v2c_row.reshape(t.num_row, dr, b)
-        sign = jnp.where(grp < 0, -1.0, 1.0)
-        mag = jnp.maximum(jnp.abs(grp), _PHI_ARG_MIN)
+        # --- CN (slot-major row layout) ---
+        sign = jnp.where(v2c_row < 0, -1.0, 1.0)
+        mag = jnp.maximum(jnp.abs(v2c_row), _PHI_ARG_MIN)
         ph = phi(mag)
-        phi_sum = jnp.sum(ph, axis=1)
-        sign_prod = jnp.prod(sign, axis=1)
-        excl_phi = jnp.maximum(phi_sum[:, None, :] - ph, constants.SMALLEST_PROB)
-        excl_sign = sign_prod[:, None, :] * sign
-        new_row = (excl_sign * jnp.minimum(phi(excl_phi), llr_clip)).reshape(-1, b)
+        phi_sum = jnp.sum(ph, axis=0)  # [nr, B]
+        sign_prod = jnp.prod(sign, axis=0)
+        excl_phi = jnp.maximum(phi_sum[None, :, :] - ph, constants.SMALLEST_PROB)
+        excl_sign = sign_prod[None, :, :] * sign
+        new_row = excl_sign * jnp.minimum(phi(excl_phi), llr_clip)  # [dr, nr, B]
         ss_new = 0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum))
         # --- permute back + freeze ---
-        c2v_new = new_row[perm_c2r]
-        c2v = jnp.where(conv_after[None, :], c2v, c2v_new)
+        c2v_new = new_row.reshape(-1, b)[t.perm_sm_c2r].reshape(dc, nc, b)
+        c2v = jnp.where(conv_after[None, None, :], c2v, c2v_new)
         ss = jnp.where(conv_after[None, :], ss, ss_new)
         return i + 1, c2v, cc_hat, conv_after, iters, ss
 
@@ -123,11 +117,11 @@ def _decode_cols_regular(
 
     state = (
         jnp.int32(0),
-        jnp.zeros((t.num_edges, b), jnp.float32),
-        jnp.zeros((t.num_col, b), jnp.int8),
+        jnp.zeros((dc, nc, b), jnp.float32),
+        jnp.zeros((nc, b), jnp.int8),
         jnp.zeros((b,), bool),
         jnp.zeros((b,), jnp.int32),
-        jnp.ones((t.num_row, b), jnp.float32),
+        jnp.ones((nr, b), jnp.float32),
     )
     _, _, cc_hat, conv, iters, ss = jax.lax.while_loop(cond, body, state)
     uu_hat = jax.lax.dynamic_slice_in_dim(cc_hat, t.info_start, t.code_dim, 0)
