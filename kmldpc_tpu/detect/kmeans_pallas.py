@@ -1,0 +1,143 @@
+"""Fused Pallas kernel for the k-means assignment + accumulation step.
+
+The pure-JAX estimator (detect/kmeans.py) materializes, per iteration, the
+[B, Nsym, M] distance tensor, its argmin, and a one-hot of the assignment
+(tens of MB of HBM traffic per iteration at production batch sizes).  This
+kernel fuses distance computation, running-argmin and the per-cluster
+count/sum accumulation entirely in VMEM: per iteration it reads the
+received symbols once and writes only the [B, M] statistics.
+
+Grid: (batch tiles, symbol tiles); the symbol-tile axis accumulates into
+the same output block (initialized at j == 0 — the standard revisiting
+pattern).  The constellation loop is unrolled (M <= 64), tracking the
+running minimum with strict ``<`` so ties resolve to the first minimum,
+exactly like ``jnp.argmin`` and the reference's ``min_element``
+(kmeans.cc:40-44).
+
+The centroid re-projection (anchor select + complex division) stays in
+plain JAX — it is O(B·M) and irrelevant to performance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(n: int, cap: int = 512) -> int:
+    for t in (512, 448, 384, 336, 256, 224, 192, 160, 128, 96, 64, 32, 16, 8):
+        if t <= cap and n % t == 0:
+            return t
+    return n
+
+
+def _accum_kernel(yr_ref, yi_ref, hr_ref, hi_ref, sr_ref, si_ref,
+                  cnt_ref, sumr_ref, sumi_ref, *, m_points: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        sumr_ref[:] = jnp.zeros_like(sumr_ref)
+        sumi_ref[:] = jnp.zeros_like(sumi_ref)
+
+    yr = yr_ref[:]  # [TB, TS]
+    yi = yi_ref[:]
+    hr = hr_ref[:]  # [TB, 1]
+    hi = hi_ref[:]
+
+    best = jnp.full_like(yr, jnp.inf)
+    bestm = jnp.zeros(yr.shape, jnp.int32)
+    for m in range(m_points):
+        sr = sr_ref[0, m]
+        si = si_ref[0, m]
+        crm = hr * sr - hi * si  # [TB, 1]
+        cim = hr * si + hi * sr
+        dre = yr - crm
+        dim = yi - cim
+        d = dre * dre + dim * dim
+        take = d < best
+        best = jnp.where(take, d, best)
+        bestm = jnp.where(take, m, bestm)
+
+    cnts = []
+    sums_r = []
+    sums_i = []
+    for m in range(m_points):
+        sel = bestm == m
+        cnts.append(jnp.sum(sel.astype(jnp.float32), axis=1))
+        sums_r.append(jnp.sum(jnp.where(sel, yr, 0.0), axis=1))
+        sums_i.append(jnp.sum(jnp.where(sel, yi, 0.0), axis=1))
+    cnt_ref[:] += jnp.stack(cnts, axis=1)
+    sumr_ref[:] += jnp.stack(sums_r, axis=1)
+    sumi_ref[:] += jnp.stack(sums_i, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("m_points",))
+def _assign_accumulate(yr, yi, hr, hi, sr, si, m_points: int):
+    """counts/sum_r/sum_i: [B, M] cluster statistics for gains (hr, hi)."""
+    b, nsym = yr.shape
+    tb = _pick_tile(b, 256)
+    ts = _pick_tile(nsym, 512)
+    grid = (b // tb, nsym // ts)
+    out_shape = jax.ShapeDtypeStruct((b, m_points), jnp.float32)
+    spec_y = pl.BlockSpec((tb, ts), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    spec_h = pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((1, m_points), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((tb, m_points), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_accum_kernel, m_points=m_points),
+        grid=grid,
+        out_shape=(out_shape, out_shape, out_shape),
+        in_specs=[spec_y, spec_y, spec_h, spec_h, spec_s, spec_s],
+        out_specs=(spec_out, spec_out, spec_out),
+    )(yr, yi, hr[:, None], hi[:, None], sr[None, :], si[None, :])
+
+
+def make_blind_estimator_pallas(tables, iters: int = 20, anchor: str = "max"):
+    """Drop-in for detect.kmeans.make_blind_estimator, Pallas-accelerated."""
+    if anchor not in ("max", "first"):
+        raise ValueError(f"anchor must be 'max' or 'first', got {anchor!r}")
+    sr = tables.points_re
+    si = tables.points_im
+    m = int(sr.shape[0])
+    s0_r, s0_i = sr[0], si[0]
+    s0_norm = s0_r * s0_r + s0_i * s0_i
+
+    def estimate(yr: jnp.ndarray, yi: jnp.ndarray):
+        mag2 = yr * yr + yi * yi
+        jstar = jnp.argmax(mag2, axis=1)
+        ymax_r = jnp.take_along_axis(yr, jstar[:, None], axis=1)[:, 0]
+        ymax_i = jnp.take_along_axis(yi, jstar[:, None], axis=1)[:, 0]
+        h_r = (ymax_r * s0_r + ymax_i * s0_i) / s0_norm
+        h_i = (ymax_i * s0_r - ymax_r * s0_i) / s0_norm
+
+        def body(_, h):
+            h_r, h_i = h
+            counts, sum_r, sum_i = _assign_accumulate(yr, yi, h_r, h_i, sr, si, m)
+            safe = jnp.maximum(counts, 1.0)
+            cent_r = sum_r / safe
+            cent_i = sum_i / safe
+            if anchor == "first":
+                k = jnp.zeros(yr.shape[0], dtype=jnp.int32)
+            else:
+                cmag = jnp.where(counts > 0, cent_r**2 + cent_i**2, -1.0)
+                k = jnp.argmax(cmag, axis=1)
+            a_r = jnp.take_along_axis(cent_r, k[:, None], axis=1)[:, 0]
+            a_i = jnp.take_along_axis(cent_i, k[:, None], axis=1)[:, 0]
+            a_cnt = jnp.take_along_axis(counts, k[:, None], axis=1)[:, 0]
+            new_r = (a_r * s0_r + a_i * s0_i) / s0_norm
+            new_i = (a_i * s0_r - a_r * s0_i) / s0_norm
+            keep = a_cnt > 0
+            return jnp.where(keep, new_r, h_r), jnp.where(keep, new_i, h_i)
+
+        h_r, h_i = jax.lax.fori_loop(0, iters, body, (h_r, h_i))
+        h4_r = jnp.stack([h_r, -h_i, -h_r, h_i], axis=1)
+        h4_i = jnp.stack([h_i, h_r, -h_i, -h_r], axis=1)
+        return h4_r, h4_i
+
+    return estimate

@@ -88,6 +88,9 @@ class ChainSpec:
     # metrics always use the flooding decoder (soft-syndrome semantics).
     schedule: str = "flooding"
     minsum_alpha: float = 0.75
+    # k-means implementation: "auto" (Pallas kernel on TPU backends, pure
+    # JAX elsewhere), "jax", or "pallas".
+    kmeans_impl: str = "auto"
 
     @staticmethod
     def from_config(cfg: Config, code: LDPCCode, constellation: Constellation) -> "ChainSpec":
@@ -132,7 +135,17 @@ def build_chain_fn(
     demap = make_soft_demapper(tables)
     if spec.schedule not in ("flooding", "layered-minsum"):
         raise ValueError(f"unknown schedule {spec.schedule!r}")
-    estimate = make_blind_estimator(tables, spec.kmeans_iters, spec.kmeans_anchor)
+    impl = spec.kmeans_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu",) else "jax"
+    if impl == "pallas":
+        from ..detect.kmeans_pallas import make_blind_estimator_pallas
+
+        estimate = make_blind_estimator_pallas(
+            tables, spec.kmeans_iters, spec.kmeans_anchor
+        )
+    else:
+        estimate = make_blind_estimator(tables, spec.kmeans_iters, spec.kmeans_anchor)
     select = make_ambiguity_selector(code, tables, spec.metric_type, spec.metric_iter)
 
     def run_chunk(params: ChainParams, key: jax.Array, var: jnp.ndarray) -> ChunkResult:
