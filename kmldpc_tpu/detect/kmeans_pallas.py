@@ -61,25 +61,28 @@ def _accum_kernel(yr_ref, yi_ref, hr_ref, hi_ref, sr_ref, si_ref,
         dim = yi - cim
         d = dre * dre + dim * dim
         take = d < best
-        best = jnp.where(take, d, best)
-        bestm = jnp.where(take, m, bestm)
+        best = jax.lax.select(take, d, best)
+        bestm = jax.lax.select(take, jnp.full_like(bestm, m), bestm)
 
     cnts = []
     sums_r = []
     sums_i = []
     for m in range(m_points):
-        sel = bestm == m
-        cnts.append(jnp.sum(sel.astype(jnp.float32), axis=1))
-        sums_r.append(jnp.sum(jnp.where(sel, yr, 0.0), axis=1))
-        sums_i.append(jnp.sum(jnp.where(sel, yi, 0.0), axis=1))
+        sel = (bestm == m).astype(jnp.float32)
+        cnts.append(jnp.sum(sel, axis=1))
+        sums_r.append(jnp.sum(sel * yr, axis=1))
+        sums_i.append(jnp.sum(sel * yi, axis=1))
     cnt_ref[:] += jnp.stack(cnts, axis=1)
     sumr_ref[:] += jnp.stack(sums_r, axis=1)
     sumi_ref[:] += jnp.stack(sums_i, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("m_points",))
 def _assign_accumulate(yr, yi, hr, hi, sr, si, m_points: int):
-    """counts/sum_r/sum_i: [B, M] cluster statistics for gains (hr, hi)."""
+    """counts/sum_r/sum_i: [B, M] cluster statistics for gains (hr, hi).
+
+    Deliberately NOT wrapped in jax.jit: a nested jit inside a fori_loop
+    body triggers a closed_call lowering-cache KeyError in jax 0.9.0 when
+    the body also contains a pallas_call."""
     b, nsym = yr.shape
     tb = _pick_tile(b, 256)
     ts = _pick_tile(nsym, 512)
@@ -109,10 +112,15 @@ def make_blind_estimator_pallas(tables, iters: int = 20, anchor: str = "max"):
     s0_norm = s0_r * s0_r + s0_i * s0_i
 
     def estimate(yr: jnp.ndarray, yi: jnp.ndarray):
+        # NOTE: no take_along_axis anywhere in this function — its
+        # closed_call lowering collides with the Pallas kernel's lowering
+        # cache in jax 0.9.0 (KeyError in _lower_jaxpr_to_fun_cached);
+        # one-hot contractions express the same selections.
         mag2 = yr * yr + yi * yi
         jstar = jnp.argmax(mag2, axis=1)
-        ymax_r = jnp.take_along_axis(yr, jstar[:, None], axis=1)[:, 0]
-        ymax_i = jnp.take_along_axis(yi, jstar[:, None], axis=1)[:, 0]
+        oh_j = jax.nn.one_hot(jstar, yr.shape[1], dtype=yr.dtype)
+        ymax_r = jnp.sum(yr * oh_j, axis=1)
+        ymax_i = jnp.sum(yi * oh_j, axis=1)
         h_r = (ymax_r * s0_r + ymax_i * s0_i) / s0_norm
         h_i = (ymax_i * s0_r - ymax_r * s0_i) / s0_norm
 
@@ -127,9 +135,10 @@ def make_blind_estimator_pallas(tables, iters: int = 20, anchor: str = "max"):
             else:
                 cmag = jnp.where(counts > 0, cent_r**2 + cent_i**2, -1.0)
                 k = jnp.argmax(cmag, axis=1)
-            a_r = jnp.take_along_axis(cent_r, k[:, None], axis=1)[:, 0]
-            a_i = jnp.take_along_axis(cent_i, k[:, None], axis=1)[:, 0]
-            a_cnt = jnp.take_along_axis(counts, k[:, None], axis=1)[:, 0]
+            oh = jax.nn.one_hot(k, m, dtype=cent_r.dtype)
+            a_r = jnp.sum(cent_r * oh, axis=1)
+            a_i = jnp.sum(cent_i * oh, axis=1)
+            a_cnt = jnp.sum(counts * oh, axis=1)
             new_r = (a_r * s0_r + a_i * s0_i) / s0_norm
             new_i = (a_i * s0_r - a_r * s0_i) / s0_norm
             keep = a_cnt > 0

@@ -137,7 +137,15 @@ def build_chain_fn(
         raise ValueError(f"unknown schedule {spec.schedule!r}")
     impl = spec.kmeans_impl
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() not in ("cpu",) else "jax"
+        # Pallas kernel on TPU backends; jax 0.9.0 hits a closed_call
+        # lowering-cache KeyError when a pallas_call sits in a fori_loop
+        # body for the larger-M kernels, so auto restricts the kernel to
+        # small constellations until that upstream bug is fixed.
+        use_pallas = (
+            jax.default_backend() not in ("cpu",)
+            and tables.num_points <= 4
+        )
+        impl = "pallas" if use_pallas else "jax"
     if impl == "pallas":
         from ..detect.kmeans_pallas import make_blind_estimator_pallas
 
