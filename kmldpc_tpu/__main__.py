@@ -63,6 +63,13 @@ def main(argv: list[str] | None = None) -> int:
             tpu = dataclasses.replace(tpu, seed=args.seed)
         cfg = dataclasses.replace(cfg, tpu=tpu)
 
+    # the reference build creates records/ and logs/ next to the binary
+    # (kmldpc/CMakeLists.txt:26-30); keep the same working-dir contract
+    if primary and not args.no_log_file:
+        import os
+
+        os.makedirs("records", exist_ok=True)
+
     sim = Simulator(cfg, logger)
     sim.simulate()
     logger.info("Simulation done")

@@ -73,10 +73,19 @@ def parse_hmatrix(path: str) -> ParityCheckMatrix:
     rows: list[np.ndarray] = []
     cols: list[np.ndarray] = []
     cursor = 0
-    for _ in range(num_row):
+    for r in range(num_row):
+        if cursor + 2 > body.shape[0]:
+            raise ValueError(
+                f"{path}: truncated at row {r}/{num_row} (missing row header)"
+            )
         row_no = int(body[cursor])
         degree = int(body[cursor + 1])
         cursor += 2
+        if cursor + degree > body.shape[0]:
+            raise ValueError(
+                f"{path}: truncated at row {r}/{num_row} "
+                f"(expected {degree} column indices)"
+            )
         cs = body[cursor : cursor + degree]
         cursor += degree
         rows.append(np.full(degree, row_no, dtype=np.int32))

@@ -155,3 +155,36 @@ def test_cli_smoke(assets, tmp_path):
     assert "BER Result" in out.stdout
     assert "FER Result" in out.stdout
     assert "Total time cost:" in out.stdout
+
+
+def test_chain_4psk_and_inactive_encoder(assets):
+    """2bits_4PSK constellation + ldpc.active=false (all-zero codeword)."""
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    const = parse_constellation(str(assets / "2bits_4PSK.txt"))
+    spec = ChainSpec(
+        code=code, constellation=const, known_h=True, fading=True,
+        metric_type=False, metric_iter=5, max_iter=20,
+        encoder_active=False, histogram=False,
+    )
+    run = make_chunk_runner(spec, batch=8)
+    res = run(jax.random.key(0), np.float32(10 ** (-1.5)))
+    # all-zero codeword at 15 dB known-h: decoder recovers the zero word
+    assert int(res.err_blk) == 0
+
+
+def test_truncated_hmatrix_named_error(tmp_path):
+    from kmldpc_tpu.io import parse_hmatrix
+
+    p = tmp_path / "bad.txt"
+    p.write_text("hdr\n4 8 4\nhdr2\n0 2 0 1\n1 2 2\n")
+    with pytest.raises(ValueError, match="truncated at row"):
+        parse_hmatrix(str(p))
+
+
+def test_random_symbols_distribution():
+    from kmldpc_tpu.ops.source import random_symbols
+
+    s = np.asarray(random_symbols(jax.random.key(0), 5, (4000,)))
+    assert s.min() >= 0 and s.max() <= 4
+    counts = np.bincount(s, minlength=5)
+    assert (np.abs(counts / 4000 - 0.2) < 0.04).all()
