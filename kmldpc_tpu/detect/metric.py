@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 from ..code.ldpc import LDPCCode
@@ -60,6 +61,14 @@ def make_ambiguity_selector(
     needs_decode = metric_type or code.is_5g
 
     def select(t: DecoderTables, yr, yi, h4_r, h4_i, var):
+        """Returns (hr, hi, metrics, llr_best).
+
+        ``llr_best`` is the winning candidate's channel LLRs, reused by the
+        caller for the final decode — the reference re-demaps with ĥ*
+        (kmcodec.cc:70), which recomputes exactly the winning candidate's
+        demap output, so reusing it is value-identical and one demap
+        cheaper.
+        """
         b, nsym = yr.shape
         # fold candidates into the batch: [B, 4, Nsym] -> [4B, Nsym]
         yr4 = jnp.broadcast_to(yr[:, None, :], (b, 4, nsym)).reshape(b * 4, nsym)
@@ -82,8 +91,13 @@ def make_ambiguity_selector(
                 metric = count_failed_checks(t, res.cc_hat).astype(jnp.float32)
         metrics = jnp.abs(metric).reshape(b, 4)  # abs: kmcodec.cc:140
         best = jnp.argmin(metrics, axis=1)  # first min, like std::min_element
-        hr = jnp.take_along_axis(h4_r, best[:, None], axis=1)[:, 0]
-        hi = jnp.take_along_axis(h4_i, best[:, None], axis=1)[:, 0]
-        return hr, hi, metrics
+        oh = jax.nn.one_hot(best, 4, dtype=h4_r.dtype)
+        hr = jnp.sum(h4_r * oh, axis=1)
+        hi = jnp.sum(h4_i * oh, axis=1)
+        # winner's LLRs via a row gather of the folded [4B, n] array — a
+        # [B, 4, n] reshape would be a retiling copy on TPU
+        rows = jnp.arange(b, dtype=jnp.int32) * 4 + best.astype(jnp.int32)
+        llr_best = chan_llr[rows]
+        return hr, hi, metrics, llr_best
 
     return select

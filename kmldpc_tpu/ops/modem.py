@@ -114,7 +114,16 @@ def make_soft_demapper(
         p1 = jnp.einsum("bsm,mj->bsj", p, 1.0 - tables.bit0_mask)
         bit_p0 = p0 / (p0 + p1)
         bit_p0 = jnp.clip(bit_p0, clip_lo, clip_hi).reshape(b, nsym * m)
-        chan_llr = jnp.log(bit_p0) - jnp.log1p(-bit_p0)
+        # LLR from the unnormalized marginals: 1 - 1e-12 is not
+        # representable in f32, so log1p(-clipped_p0) would hit exactly
+        # -inf for confident bits (the f64 reference gets finite +-27.63
+        # there).  log(p0) - log(p1) with the explicit clip reproduces the
+        # reference's clipped value with no infinities.
+        chan_llr = jnp.clip(
+            (jnp.log(p0) - jnp.log(p1)).reshape(b, nsym * m),
+            -constants.LLR_CLIP,
+            constants.LLR_CLIP,
+        )
         return bit_p0, chan_llr
 
     return demap

@@ -168,12 +168,13 @@ def build_chain_fn(
             k_chan, xr, xi, sigma, fading=spec.fading
         )
 
+        chan_llr = None
         if spec.known_h:
             hr, hi = hr_true, hi_true
             metrics = jnp.zeros((batch, 4), jnp.float32)
         else:
             h4_r, h4_i = estimate(yr, yi)
-            hr, hi, metrics = select(params.dec, yr, yi, h4_r, h4_i, var)
+            hr, hi, metrics, chan_llr = select(params.dec, yr, yi, h4_r, h4_i, var)
 
         raw = ()
         if spec.histogram and not spec.known_h:
@@ -182,7 +183,8 @@ def build_chain_fn(
             uu_hat = jnp.zeros_like(uu)
             mean_iters = jnp.float32(0)
         else:
-            _, chan_llr = demap(yr, yi, hr, hi, var)
+            if chan_llr is None:
+                _, chan_llr = demap(yr, yi, hr, hi, var)
             if spec.schedule == "layered-minsum":
                 res = layered_minsum_decode(
                     params.ms, chan_llr, spec.max_iter, spec.minsum_alpha

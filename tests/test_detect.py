@@ -72,7 +72,7 @@ def test_selector_resolves_rotation_mod_pi(setup, metric_type):
     estimate = make_blind_estimator(tables)
     select = make_ambiguity_selector(code, tables, metric_type, metric_iter=5)
     h4_r, h4_i = estimate(yr, yi)
-    sr, si, metrics = jax.jit(select)(DecoderTables.from_code(code), yr, yi, h4_r, h4_i, sigma**2)
+    sr, si, metrics, _llr = jax.jit(select)(DecoderTables.from_code(code), yr, yi, h4_r, h4_i, sigma**2)
     d_sel = np.minimum(
         np.hypot(np.asarray(sr) - np.asarray(hr), np.asarray(si) - np.asarray(hi)),
         np.hypot(np.asarray(sr) + np.asarray(hr), np.asarray(si) + np.asarray(hi)),
@@ -99,7 +99,7 @@ def test_selector_16qam_resolves_sign(assets):
     estimate = make_blind_estimator(tables)
     select = make_ambiguity_selector(code, tables, False, metric_iter=5)
     h4_r, h4_i = estimate(yr, yi)
-    sr, si, _ = jax.jit(select)(DecoderTables.from_code(code), yr, yi, h4_r, h4_i, sigma**2)
+    sr, si, _, _llr = jax.jit(select)(DecoderTables.from_code(code), yr, yi, h4_r, h4_i, sigma**2)
     d_sel = np.hypot(np.asarray(sr) - np.asarray(hr), np.asarray(si) - np.asarray(hi))
     d_best = _best_candidate_err(h4_r, h4_i, hr, hi)
     np.testing.assert_allclose(d_sel, d_best, atol=1e-5)
@@ -114,7 +114,7 @@ def test_selector_5g_hard_metric(assets):
     estimate = make_blind_estimator(tables)
     select = make_ambiguity_selector(code, tables, metric_type=False, metric_iter=5)
     h4_r, h4_i = estimate(yr, yi)
-    sr, si, metrics = jax.jit(select)(DecoderTables.from_code(code), yr, yi, h4_r, h4_i, sigma**2)
+    sr, si, metrics, _llr = jax.jit(select)(DecoderTables.from_code(code), yr, yi, h4_r, h4_i, sigma**2)
     d_sel = np.hypot(np.asarray(sr) - np.asarray(hr), np.asarray(si) - np.asarray(hi))
     d_best = _best_candidate_err(h4_r, h4_i, hr, hi)
     np.testing.assert_allclose(d_sel, d_best, atol=1e-5)
