@@ -95,13 +95,17 @@ class DecoderTables:
     row_mask: jnp.ndarray  # [num_row, drm] f32 (1 = real edge)
     edge_rowslot: jnp.ndarray  # [E] int32 into flattened [num_row*drm]
     row_edge_col: jnp.ndarray  # [num_row, drm] int32 (num_col = pad)
-    # Slot-major permutations for the regular fast path (bp_em): with
-    # messages stored [deg, nodes, B], merging the two leading axes is a
-    # free reshape (no retiling), so these are the only data movement.
+    # Slot-major permutations for the bp_em decoder: with messages stored
+    # [deg, nodes, B], merging the two leading axes is a free reshape (no
+    # retiling), so these are the only data movement.
     # perm_sm_r2c[p] = slot-major col-flat index of the edge at slot-major
-    # row-flat position p; perm_sm_c2r is the inverse. Empty if irregular.
-    perm_sm_r2c: jnp.ndarray  # [E] int32
-    perm_sm_c2r: jnp.ndarray  # [E] int32
+    # row-flat position p; perm_sm_c2r is the inverse. For irregular codes
+    # the slot arrays are padded to (dcm, drm): pad positions point at some
+    # valid index and are neutralized by the masks below.
+    perm_sm_r2c: jnp.ndarray  # [drm*num_row] int32
+    perm_sm_c2r: jnp.ndarray  # [dcm*num_col] int32
+    col_mask_sm: jnp.ndarray  # [dcm, num_col] f32 — 1 where a real edge
+    row_mask_sm: jnp.ndarray  # [drm, num_row] f32
 
     @property
     def is_regular(self) -> bool:
@@ -111,22 +115,30 @@ class DecoderTables:
     def from_code(code: LDPCCode) -> "DecoderTables":
         info_start = 0 if code.is_5g else code.code_chk
         regular = bool(code.col_mask.all() and code.row_mask.all())
-        if regular:
-            dc, dr = code.dc_max, code.dr_max
-            e_idx = np.arange(code.num_edges, dtype=np.int64)
-            # col-sorted order: edge e = (col e//dc, slot e%dc)
-            col_sm = (e_idx % dc) * code.num_col + e_idx // dc
-            # row side: edge_rowslot[e] = r*dr + s
-            r = code.edge_rowslot // dr
-            s = code.edge_rowslot % dr
-            row_sm = s.astype(np.int64) * code.num_row + r.astype(np.int64)
-            perm_sm_r2c = np.empty(code.num_edges, dtype=np.int32)
-            perm_sm_r2c[row_sm] = col_sm.astype(np.int32)
-            perm_sm_c2r = np.empty(code.num_edges, dtype=np.int32)
-            perm_sm_c2r[col_sm] = row_sm.astype(np.int32)
-        else:
-            perm_sm_r2c = np.zeros(0, dtype=np.int32)
-            perm_sm_c2r = np.zeros(0, dtype=np.int32)
+        dcm, drm = code.dc_max, code.dr_max
+        # slot-major flat positions of each real edge
+        # col side: edge e (col-sorted) sits at column edge_col[e], slot =
+        # its rank within the column
+        col_of = code.edge_col.astype(np.int64)
+        slot_c = np.zeros(code.num_edges, dtype=np.int64)
+        seen: dict[int, int] = {}
+        for e in range(code.num_edges):
+            c = int(col_of[e])
+            slot_c[e] = seen.get(c, 0)
+            seen[c] = slot_c[e] + 1
+        col_sm = slot_c * code.num_col + col_of
+        r = (code.edge_rowslot // drm).astype(np.int64)
+        s = (code.edge_rowslot % drm).astype(np.int64)
+        row_sm = s * code.num_row + r
+        # pad positions point at index 0 and are neutralized by the masks
+        perm_sm_r2c = np.zeros(drm * code.num_row, dtype=np.int32)
+        perm_sm_r2c[row_sm] = col_sm.astype(np.int32)
+        perm_sm_c2r = np.zeros(dcm * code.num_col, dtype=np.int32)
+        perm_sm_c2r[col_sm] = row_sm.astype(np.int32)
+        col_mask_sm = np.zeros(dcm * code.num_col, dtype=np.float32)
+        col_mask_sm[col_sm] = 1.0
+        row_mask_sm = np.zeros(drm * code.num_row, dtype=np.float32)
+        row_mask_sm[row_sm] = 1.0
         return DecoderTables(
             num_col=code.num_col,
             num_row=code.num_row,
@@ -145,6 +157,8 @@ class DecoderTables:
             row_edge_col=jnp.asarray(code.row_edge_col),
             perm_sm_r2c=jnp.asarray(perm_sm_r2c),
             perm_sm_c2r=jnp.asarray(perm_sm_c2r),
+            col_mask_sm=jnp.asarray(col_mask_sm.reshape(dcm, code.num_col)),
+            row_mask_sm=jnp.asarray(row_mask_sm.reshape(drm, code.num_row)),
         )
 
 

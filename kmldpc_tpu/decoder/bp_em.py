@@ -53,60 +53,60 @@ def _insert_punct(t: DecoderTables, llr_tx: jnp.ndarray) -> jnp.ndarray:
 def _decode_cols(
     t: DecoderTables, llr_col: jnp.ndarray, iter_count: int
 ) -> DecodeResult:
-    if t.is_regular:
-        return _decode_cols_regular(t, llr_col, iter_count)
-    return _decode_cols_padded(t, llr_col, iter_count)
+    """Slot-major core loop on column-major LLRs [num_col, B].
 
-
-def _decode_cols_regular(
-    t: DecoderTables, llr_col: jnp.ndarray, iter_count: int
-) -> DecodeResult:
-    """Regular-code fast path: both groupings are reshapes.
-
-    With constant degrees (dc, dr) and edges sorted by column, the edge of
-    col-layout position e belongs to column e // dc, so the column sum is a
-    reshape + reduce; similarly row-layout position p belongs to row
-    p // dr.  The only remaining addressing is the interleaver permutation
-    ``edge_rowslot`` (col-layout -> row-layout) and its inverse
-    ``row_edge_idx`` — two row gathers per iteration.  The syndrome is
-    computed *in the row domain* from per-edge posteriors
-    (post[col[e]] = v2c[e] + c2v[e]), avoiding a third gather; hard
-    decisions per column come from the posterior directly.
+    Messages live as [deg_max, nodes, B]; per-node reductions run over the
+    leading axis and flattening for the interleaver permutation is a free
+    major-dim merge.  Irregular codes use the same path with pad slots
+    neutralized by col/row masks (zero contribution on the column side,
+    sign=+1 / phi=0 on the row side); for regular codes the masks are
+    all-ones and the mask multiplies are skipped.
     """
     llr_clip = jnp.float32(constants.LLR_CLIP)
     b = llr_col.shape[1]
-    dc, dr = t.dc, t.dr
+    dcm = t.col_mask_sm.shape[0]
+    drm = t.row_mask_sm.shape[0]
     nc, nr = t.num_col, t.num_row
+    regular = t.is_regular
+    cmask = t.col_mask_sm[:, :, None]  # [dcm, nc, 1]
+    rmask = t.row_mask_sm[:, :, None]  # [drm, nr, 1]
 
     def body(state):
-        i, c2v, cc_hat, conv, iters, ss = state  # c2v: [dc, nc, B] slot-major
-        # --- VN (slot-major col layout; reductions over the leading axis) ---
-        colsum = jnp.sum(c2v, axis=0)  # [nc, B]
+        i, c2v, cc_hat, conv, iters, ss = state  # c2v: [dcm, nc, B]
+        # --- VN ---
+        colsum = jnp.sum(c2v, axis=0)  # [nc, B] (pad slots hold 0)
         post = llr_col + colsum
-        v2c = post[None, :, :] - c2v  # [dc, nc, B]
+        v2c = post[None, :, :] - c2v  # [dcm, nc, B]; garbage at pad slots
         hard = (post <= 0).astype(jnp.int8)
         cc_hat = jnp.where(conv[None, :], cc_hat, hard)
-        # --- permute to slot-major row layout (free flatten + row gather) ---
-        v2c_row = v2c.reshape(-1, b)[t.perm_sm_r2c].reshape(dr, nr, b)
-        c2v_row = c2v.reshape(-1, b)[t.perm_sm_r2c].reshape(dr, nr, b)
+        # --- permute to slot-major row layout ---
+        v2c_row = v2c.reshape(-1, b)[t.perm_sm_r2c].reshape(drm, nr, b)
+        c2v_row = c2v.reshape(-1, b)[t.perm_sm_r2c].reshape(drm, nr, b)
         # --- syndrome in the row domain (pre-update messages) ---
-        hard_edge = ((v2c_row + c2v_row) <= 0).astype(jnp.int32)
-        parity = jnp.sum(hard_edge, axis=0) % 2  # [nr, B]
+        hard_edge = ((v2c_row + c2v_row) <= 0).astype(jnp.float32)
+        if not regular:
+            hard_edge = hard_edge * rmask
+        parity = jnp.sum(hard_edge, axis=0).astype(jnp.int32) % 2
         ok = jnp.all(parity == 0, axis=0)
         iters = iters + (~conv).astype(jnp.int32)
         conv_after = conv | ok
-        # --- CN (slot-major row layout) ---
+        # --- CN ---
         sign = jnp.where(v2c_row < 0, -1.0, 1.0)
         mag = jnp.maximum(jnp.abs(v2c_row), _PHI_ARG_MIN)
         ph = phi(mag)
+        if not regular:
+            sign = jnp.where(rmask > 0, sign, 1.0)
+            ph = ph * rmask
         phi_sum = jnp.sum(ph, axis=0)  # [nr, B]
         sign_prod = jnp.prod(sign, axis=0)
         excl_phi = jnp.maximum(phi_sum[None, :, :] - ph, constants.SMALLEST_PROB)
         excl_sign = sign_prod[None, :, :] * sign
-        new_row = excl_sign * jnp.minimum(phi(excl_phi), llr_clip)  # [dr, nr, B]
+        new_row = excl_sign * jnp.minimum(phi(excl_phi), llr_clip)  # [drm, nr, B]
         ss_new = 0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum))
         # --- permute back + freeze ---
-        c2v_new = new_row.reshape(-1, b)[t.perm_sm_c2r].reshape(dc, nc, b)
+        c2v_new = new_row.reshape(-1, b)[t.perm_sm_c2r].reshape(dcm, nc, b)
+        if not regular:
+            c2v_new = c2v_new * cmask  # pad slots must stay exactly 0
         c2v = jnp.where(conv_after[None, None, :], c2v, c2v_new)
         ss = jnp.where(conv_after[None, :], ss, ss_new)
         return i + 1, c2v, cc_hat, conv_after, iters, ss
@@ -117,84 +117,12 @@ def _decode_cols_regular(
 
     state = (
         jnp.int32(0),
-        jnp.zeros((dc, nc, b), jnp.float32),
+        jnp.zeros((dcm, nc, b), jnp.float32),
         jnp.zeros((nc, b), jnp.int8),
         jnp.zeros((b,), bool),
         jnp.zeros((b,), jnp.int32),
         jnp.ones((nr, b), jnp.float32),
     )
-    _, _, cc_hat, conv, iters, ss = jax.lax.while_loop(cond, body, state)
-    uu_hat = jax.lax.dynamic_slice_in_dim(cc_hat, t.info_start, t.code_dim, 0)
-    return DecodeResult(uu_hat, cc_hat, conv, iters, ss)
-
-
-def _decode_cols_padded(
-    t: DecoderTables, llr_col: jnp.ndarray, iter_count: int
-) -> DecodeResult:
-    """Core loop on column-major LLRs [num_col, B]; returns edge-major result."""
-    llr_clip = jnp.float32(constants.LLR_CLIP)
-    b = llr_col.shape[1]
-
-    zero_row = jnp.zeros((1, b), jnp.float32)
-
-    def vn_pass(c2v):
-        c2v_pad = jnp.concatenate([c2v, zero_row], axis=0)  # [E+1, B]
-        per_col = c2v_pad[t.col_edge_idx]  # [num_col, dcm, B]
-        colsum = jnp.sum(per_col, axis=1)  # [num_col, B]
-        post = llr_col + colsum
-        v2c = post[t.edge_col] - c2v  # [E, B]
-        hard = (post <= 0).astype(jnp.int8)  # [num_col, B]
-        return v2c, hard
-
-    def syndrome_ok(hard):
-        hard_pad = jnp.concatenate(
-            [hard.astype(jnp.int32), jnp.zeros((1, b), jnp.int32)], axis=0
-        )
-        per_row = hard_pad[t.row_edge_col]  # [num_row, drm, B]
-        parity = jnp.sum(per_row, axis=1) % 2
-        return jnp.all(parity == 0, axis=0)  # [B]
-
-    row_mask = t.row_mask[:, :, None]  # [num_row, drm, 1]
-
-    def cn_pass(v2c):
-        v2c_pad = jnp.concatenate([v2c, zero_row], axis=0)
-        per_row = v2c_pad[t.row_edge_idx]  # [num_row, drm, B]
-        sign = jnp.where(per_row < 0, -1.0, 1.0)
-        sign = jnp.where(row_mask > 0, sign, 1.0)
-        mag = jnp.maximum(jnp.abs(per_row), _PHI_ARG_MIN)
-        ph = jnp.where(row_mask > 0, phi(mag), 0.0)
-        phi_sum = jnp.sum(ph, axis=1)  # [num_row, B]
-        sign_prod = jnp.prod(sign, axis=1)
-        excl_phi = jnp.maximum(phi_sum[:, None, :] - ph, constants.SMALLEST_PROB)
-        excl_sign = sign_prod[:, None, :] * sign
-        c2v_row = excl_sign * jnp.minimum(phi(excl_phi), llr_clip)
-        c2v_new = c2v_row.reshape(-1, b)[t.edge_rowslot]  # [E, B]
-        ss = 0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum))  # [num_row, B]
-        return c2v_new, ss
-
-    c2v0 = jnp.zeros((t.num_edges, b), jnp.float32)
-    cc0 = jnp.zeros((t.num_col, b), jnp.int8)
-    conv0 = jnp.zeros((b,), bool)
-    iters0 = jnp.zeros((b,), jnp.int32)
-    ss0 = jnp.ones((t.num_row, b), jnp.float32)
-
-    def cond(state):
-        i, _, _, conv, _, _ = state
-        return jnp.logical_and(i < iter_count, ~jnp.all(conv))
-
-    def body(state):
-        i, c2v, cc_hat, conv, iters, ss = state
-        v2c, hard = vn_pass(c2v)
-        cc_hat = jnp.where(conv[None, :], cc_hat, hard)
-        ok = syndrome_ok(cc_hat)
-        iters = iters + (~conv).astype(jnp.int32)
-        conv_after = conv | ok
-        c2v_new, ss_new = cn_pass(v2c)
-        c2v = jnp.where(conv_after[None, :], c2v, c2v_new)
-        ss = jnp.where(conv_after[None, :], ss, ss_new)
-        return i + 1, c2v, cc_hat, conv_after, iters, ss
-
-    state = (jnp.int32(0), c2v0, cc0, conv0, iters0, ss0)
     _, _, cc_hat, conv, iters, ss = jax.lax.while_loop(cond, body, state)
     uu_hat = jax.lax.dynamic_slice_in_dim(cc_hat, t.info_start, t.code_dim, 0)
     return DecodeResult(uu_hat, cc_hat, conv, iters, ss)

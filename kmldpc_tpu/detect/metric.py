@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 
 from ..code.ldpc import LDPCCode
-from ..decoder.bp import DecoderTables, count_failed_checks, flooding_decode
+from ..decoder.bp import DecoderTables, count_failed_checks
+from ..decoder.bp_em import flooding_decode_em as flooding_decode
 from ..ops.modem import ModemTables, make_soft_demapper
 
 
