@@ -128,6 +128,53 @@ def _decode_cols(
     return DecodeResult(uu_hat, cc_hat, conv, iters, ss)
 
 
+def two_phase_generic(
+    decode,
+    chan_llr: jnp.ndarray,
+    iter_count: int,
+    phase1_iters: int = 8,
+    tile: int = 128,
+) -> DecodeResult:
+    """Exact two-phase wrapper for ANY deterministic batch decoder.
+
+    ``decode(chan_llr, iter_count) -> DecodeResult`` with batch-major
+    arrays.  Same argument as :func:`flooding_decode_two_phase`: converged
+    codewords already hold the full decoder's exact result; the unconverged
+    minority is compacted into tiles and re-decoded from scratch, giving
+    bit-identical outputs at a fraction of the batched cost.  Used for the
+    layered min-sum schedule (decoder/minsum.py).
+    """
+    b = chan_llr.shape[0]
+    tile = min(max(8, tile), b)
+    if tile >= b or phase1_iters >= iter_count:
+        return decode(chan_llr, iter_count)
+
+    p1 = decode(chan_llr, phase1_iters)
+    order = jnp.argsort(p1.converged, stable=True)
+    n_unconv = jnp.sum(~p1.converged).astype(jnp.int32)
+
+    def tile_cond(state):
+        return state[0] * tile < n_unconv
+
+    def tile_body(state):
+        k, uu_hat, cc_hat, conv, iters, ss = state
+        start = jnp.minimum(k * tile, b - tile)
+        idx = jax.lax.dynamic_slice_in_dim(order, start, tile)
+        sub = decode(chan_llr[idx], iter_count)
+        return (
+            k + 1,
+            uu_hat.at[idx].set(sub.uu_hat),
+            cc_hat.at[idx].set(sub.cc_hat),
+            conv.at[idx].set(sub.converged),
+            iters.at[idx].set(sub.iters),
+            ss.at[idx].set(sub.soft_syndrome),
+        )
+
+    state = (jnp.int32(0), p1.uu_hat, p1.cc_hat, p1.converged, p1.iters, p1.soft_syndrome)
+    _, uu_hat, cc_hat, conv, iters, ss = jax.lax.while_loop(tile_cond, tile_body, state)
+    return DecodeResult(uu_hat, cc_hat, conv, iters, ss)
+
+
 def flooding_decode_two_phase(
     t: DecoderTables,
     chan_llr: jnp.ndarray,

@@ -186,8 +186,14 @@ def build_chain_fn(
             if chan_llr is None:
                 _, chan_llr = demap(yr, yi, hr, hi, var)
             if spec.schedule == "layered-minsum":
-                res = layered_minsum_decode(
-                    params.ms, chan_llr, spec.max_iter, spec.minsum_alpha
+                from ..decoder.bp_em import two_phase_generic
+
+                res = two_phase_generic(
+                    lambda llr, it: layered_minsum_decode(
+                        params.ms, llr, it, spec.minsum_alpha
+                    ),
+                    chan_llr, spec.max_iter,
+                    phase1_iters=8, tile=max(8, batch // 8),
                 )
             else:
                 # exact two-phase flooding (bit-identical to the plain

@@ -87,3 +87,26 @@ def test_bad_schedule_raises(assets, code5g):
     )
     with pytest.raises(ValueError):
         make_chunk_runner(spec, batch=4)
+
+
+def test_minsum_two_phase_identical(code5g):
+    """two_phase_generic over layered min-sum is bit-identical."""
+    from kmldpc_tpu.decoder.bp_em import two_phase_generic
+    from kmldpc_tpu.decoder.minsum import layered_minsum_decode, minsum_tables
+
+    mt = minsum_tables(code5g)
+    rng = np.random.default_rng(5)
+    b = 48
+    uu = rng.integers(0, 2, size=(b, code5g.code_dim)).astype(np.uint8)
+    cc = np.stack([code5g.encode_reference(u) for u in uu])
+    sig = 1 - 2 * cc[:, code5g.punct :].astype(np.float64)
+    llr = jax.numpy.asarray(4.0 * sig + rng.normal(scale=2.6, size=sig.shape),
+                            jax.numpy.float32)
+    dec = lambda x, it: layered_minsum_decode(mt, x, it, 0.75)
+    r1 = jax.jit(dec, static_argnums=1)(llr, 40)
+    r2 = jax.jit(
+        lambda x: two_phase_generic(dec, x, 40, phase1_iters=6, tile=16)
+    )(llr)
+    np.testing.assert_array_equal(np.asarray(r1.cc_hat), np.asarray(r2.cc_hat))
+    np.testing.assert_array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
+    np.testing.assert_array_equal(np.asarray(r1.converged), np.asarray(r2.converged))
