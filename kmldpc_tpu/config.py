@@ -87,6 +87,10 @@ class TpuConfig:
     minsum_alpha: float = 0.75
     # Data-parallel axis size; 0 = use all visible devices.
     data_parallel: int = 0
+    # Rayleigh fading per block (reference behavior, simulator.cc:121-123).
+    # False pins h = 1 exactly (pure AWGN, driver config #0); the reference
+    # has no such switch.
+    fading: bool = True
     # Periodic counter checkpoint path ("" disables).
     checkpoint_path: str = ""
     # Seed for jax.random; the reference time-seeds (kmldpc.cpp:22-26).

@@ -98,7 +98,7 @@ class ChainSpec:
             code=code,
             constellation=constellation,
             known_h=cfg.decoder.true_h_arg,
-            fading=True,
+            fading=cfg.tpu.fading,
             metric_type=cfg.xcodec.metric_type,
             metric_iter=cfg.xcodec.metric_iter,
             max_iter=cfg.ldpc.max_iter,
@@ -171,13 +171,25 @@ def build_chain_fn(
         chan_llr = None
         if spec.known_h:
             hr, hi = hr_true, hi_true
-            metrics = jnp.zeros((batch, 4), jnp.float32)
+            if spec.histogram:
+                # reference histogram mode with true_h_arg: GetHistogramData
+                # over the single candidate {true_h} (simulator.cc:132-133,
+                # 154-163) -> one metric per block.  Columns 1..3 are NaN
+                # and dropped by the histogram writer.
+                h1_r = jnp.stack([hr, hr, hr, hr], axis=1)
+                h1_i = jnp.stack([hi, hi, hi, hi], axis=1)
+                _, _, m4, _ = select(params.dec, yr, yi, h1_r, h1_i, var)
+                metrics = jnp.concatenate(
+                    [m4[:, :1], jnp.full((batch, 3), jnp.nan, jnp.float32)], axis=1
+                )
+            else:
+                metrics = jnp.zeros((batch, 4), jnp.float32)
         else:
             h4_r, h4_i = estimate(yr, yi)
             hr, hi, metrics, chan_llr = select(params.dec, yr, yi, h4_r, h4_i, var)
 
         raw = ()
-        if spec.histogram and not spec.known_h:
+        if spec.histogram:
             # histogram mode skips the final decode (simulator.cc:154-163):
             # only the metric table is of interest.
             uu_hat = jnp.zeros_like(uu)

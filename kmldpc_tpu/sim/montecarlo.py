@@ -204,9 +204,14 @@ class Simulator:
 
     @staticmethod
     def _write_histogram(f, metrics: np.ndarray) -> None:
-        """Rotated metric rows: minimum first (simulator.cc:154-163)."""
-        mins = metrics.argmin(axis=1)
-        for row, k in zip(metrics, mins):
+        """Rotated metric rows: minimum first (simulator.cc:154-163).
+
+        NaN columns mark absent candidates (known-h mode has a single
+        candidate) and are dropped, like the reference's 1-element rows.
+        """
+        for row in metrics:
+            row = row[np.isfinite(row)]
+            k = int(row.argmin()) if row.size else 0
             rolled = np.roll(row, -k)
             f.write(" ".join(f"{v:g}" for v in rolled) + " \n")
 
@@ -239,7 +244,7 @@ class Simulator:
                              ("tot_blk", "err_blk", "err_bit", "tot_bit", "chunks")}) \
                 if saved else _Counters()
             hist_f = None
-            if cfg.histogram.enable and not cfg.decoder.true_h_arg:
+            if cfg.histogram.enable:
                 hist_f = open(f"histogram_{snr:.6f}.txt", "w")
             try:
                 r = self.run_snr_point(snr, c, hist_f)

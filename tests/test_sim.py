@@ -188,3 +188,39 @@ def test_random_symbols_distribution():
     assert s.min() >= 0 and s.max() <= 4
     counts = np.bincount(s, minlength=5)
     assert (np.abs(counts / 4000 - 0.2) < 0.04).all()
+
+
+def test_histogram_known_h_single_candidate(assets, tmp_path, monkeypatch):
+    """Reference histogram mode with true_h_arg writes 1-element rows
+    (GetHistogramData over the single candidate {true_h})."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(
+        assets,
+        range=dict(maximum_block_number=8, maximum_error_number=10**9),
+        decoder=dict(true_h_arg=True),
+        histogram=dict(enable=True),
+        tpu=dict(batch=8),
+    )
+    sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+    sim.simulate()
+    files = [f for f in os.listdir(".") if f.startswith("histogram_")]
+    assert len(files) == 1
+    rows = [line.split() for line in open(files[0]) if line.strip()]
+    assert rows and all(len(r) == 1 for r in rows)
+
+
+def test_awgn_h1_mode(assets):
+    """[tpu].fading=false pins h=1 (driver config #0: AWGN)."""
+    cfg = _cfg(
+        assets,
+        range=dict(maximum_block_number=16, maximum_error_number=10**9,
+                   minimum_snr=3.0, maximum_snr=3.0),
+        decoder=dict(true_h_arg=True),
+        modem=dict(modem_file="2bits_QPSK.txt"),
+        tpu=dict(batch=16, fading=False),
+    )
+    sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+    r = sim.run_snr_point(3.0)
+    # 3 dB AWGN h=1 is above the rate-1/2 QPSK threshold: zero errors,
+    # while Rayleigh fading at the same SNR has FER ~0.5
+    assert r.err_blk == 0
