@@ -106,6 +106,20 @@ class DecoderTables:
     perm_sm_c2r: jnp.ndarray  # [dcm*num_col] int32
     col_mask_sm: jnp.ndarray  # [dcm, num_col] f32 — 1 where a real edge
     row_mask_sm: jnp.ndarray  # [drm, num_row] f32
+    # Degree-class (dense) layout for irregular codes — see
+    # bp_em._decode_cols_classes.  Columns/rows are sorted ascending by
+    # degree; each degree class d with n nodes owns a contiguous
+    # [d * n] span of one flat [E] message space (slot-major within the
+    # class), so there are ZERO pad slots — the 5G BG2 code wastes 61%
+    # of its column slots in the padded layout above.
+    col_classes: tuple = dataclasses.field(metadata=dict(static=True))  # ((d, n), ...)
+    row_classes: tuple = dataclasses.field(metadata=dict(static=True))
+    col_sort: jnp.ndarray = None  # [nc] int32 — sorted pos -> original column
+    col_unsort: jnp.ndarray = None  # [nc] int32 — original column -> sorted pos
+    row_unsort: jnp.ndarray = None  # [nr] int32 — original row -> sorted pos
+    perm_cf_r2c: jnp.ndarray = None  # [E] int32 — row-flat pos -> col-flat idx
+    perm_cf_c2r: jnp.ndarray = None  # [E] int32 — col-flat pos -> row-flat idx
+    row_col_cf: jnp.ndarray = None  # [E] int32 — row-flat pos -> sorted col idx
 
     @property
     def is_regular(self) -> bool:
@@ -116,6 +130,7 @@ class DecoderTables:
         info_start = 0 if code.is_5g else code.code_chk
         regular = bool(code.col_mask.all() and code.row_mask.all())
         dcm, drm = code.dc_max, code.dr_max
+        cls = _build_class_tables(code)
         # slot-major flat positions of each real edge
         # col side: edge e (col-sorted) sits at column edge_col[e], slot =
         # its rank within the column
@@ -159,7 +174,71 @@ class DecoderTables:
             perm_sm_c2r=jnp.asarray(perm_sm_c2r),
             col_mask_sm=jnp.asarray(col_mask_sm.reshape(dcm, code.num_col)),
             row_mask_sm=jnp.asarray(row_mask_sm.reshape(drm, code.num_row)),
+            **cls,
         )
+
+
+def _class_layout(degrees: np.ndarray):
+    """Sort nodes ascending by degree and assign each node's edge slots a
+    contiguous flat index span per degree class.
+
+    Returns (classes, sort, unsort, slot_base, stride) where ``classes`` is
+    ``((degree, count), ...)``, ``sort[p]`` is the original node at sorted
+    position p, ``unsort`` its inverse, and slot s of a node sits at flat
+    index ``slot_base[node] + s * stride[node]`` (slot_base pre-folds the
+    class offset and the node's rank within its class; stride is the class
+    node count).
+    """
+    sort = np.argsort(degrees, kind="stable").astype(np.int32)
+    unsort = np.empty_like(sort)
+    unsort[sort] = np.arange(sort.shape[0], dtype=np.int32)
+    degs, counts = np.unique(degrees, return_counts=True)
+    classes = tuple((int(d), int(n)) for d, n in zip(degs, counts))
+    # per-node: flat index of slot s = off_k + s * n_k + (unsort[node] - base_k)
+    base = np.zeros(len(classes), dtype=np.int64)
+    off = np.zeros(len(classes), dtype=np.int64)
+    acc_n, acc_e = 0, 0
+    for k, (d, n) in enumerate(classes):
+        base[k], off[k] = acc_n, acc_e
+        acc_n += n
+        acc_e += d * n
+    cls_of = np.searchsorted(degs, degrees)  # [nodes]
+    slot_base = off[cls_of] - base[cls_of] + unsort.astype(np.int64)
+    stride = np.asarray([n for _, n in classes], dtype=np.int64)[cls_of]
+    return classes, sort, unsort, slot_base, stride
+
+
+def _build_class_tables(code: LDPCCode) -> dict:
+    """Dense degree-class tables (see DecoderTables doc) from the code graph."""
+    nc, nr, e = code.num_col, code.num_row, code.num_edges
+    cd = np.bincount(code.edge_col, minlength=nc)
+    rd = np.bincount(code.edge_row, minlength=nr)
+    ccls, csort, cunsort, cslot_base, cstride = _class_layout(cd)
+    rcls, _, runsort, rslot_base, rstride = _class_layout(rd)
+
+    # edges are column-sorted, so the slot (rank within column) is positional
+    col_starts = np.cumsum(cd) - cd
+    slot_c = np.arange(e, dtype=np.int64) - col_starts[code.edge_col]
+    colflat = cslot_base[code.edge_col] + slot_c * cstride[code.edge_col]
+    slot_r = (code.edge_rowslot % code.dr_max).astype(np.int64)
+    rowflat = rslot_base[code.edge_row] + slot_r * rstride[code.edge_row]
+
+    perm_cf_r2c = np.empty(e, dtype=np.int32)
+    perm_cf_r2c[rowflat] = colflat.astype(np.int32)
+    perm_cf_c2r = np.empty(e, dtype=np.int32)
+    perm_cf_c2r[colflat] = rowflat.astype(np.int32)
+    row_col_cf = np.empty(e, dtype=np.int32)
+    row_col_cf[rowflat] = cunsort[code.edge_col]
+    return dict(
+        col_classes=ccls,
+        row_classes=rcls,
+        col_sort=jnp.asarray(csort),
+        col_unsort=jnp.asarray(cunsort),
+        row_unsort=jnp.asarray(runsort),
+        perm_cf_r2c=jnp.asarray(perm_cf_r2c),
+        perm_cf_c2r=jnp.asarray(perm_cf_c2r),
+        row_col_cf=jnp.asarray(row_col_cf),
+    )
 
 
 class DecodeResult(NamedTuple):

@@ -53,6 +53,114 @@ def _insert_punct(t: DecoderTables, llr_tx: jnp.ndarray) -> jnp.ndarray:
 def _decode_cols(
     t: DecoderTables, llr_col: jnp.ndarray, iter_count: int
 ) -> DecodeResult:
+    """Column-major core dispatch: regular codes use the padded slot-major
+    loop below; irregular codes use the dense degree-class loop
+    (:func:`_decode_cols_classes`), which carries zero pad slots."""
+    if not t.is_regular:
+        return _decode_cols_classes(t, llr_col, iter_count)
+    return _decode_cols_padded(t, llr_col, iter_count)
+
+
+def _decode_cols_classes(
+    t: DecoderTables, llr_col: jnp.ndarray, iter_count: int
+) -> DecodeResult:
+    """Degree-class flooding core for irregular codes — same semantics as
+    :func:`_decode_cols_padded` / bp.flooding_decode, dense message layout.
+
+    The padded slot-major layout stores [d_max, nodes, B] message blocks;
+    for the 5G BG2 code (col degrees 1..9, mean 3.5) 61% of the column
+    slots and 36% of the row slots are padding, and every per-iteration
+    pass pays that bandwidth.  Here columns and rows are sorted by degree
+    (a one-time [nc]/[nr] permutation of the LLR input and hard/soft
+    outputs) and messages live in one flat dense [E, B] array in which
+    each degree class d owns a contiguous [d * n_k, B] span, viewed as
+    [d, n_k, B] for the node reductions — zero padding anywhere.  The
+    interleaver permutations and the int8 hard-bit syndrome gather are
+    the only cross-class data movement.  ~1.9x faster per iteration than
+    the padded layout on the BG2a3 code at B=1024 on v5e.
+    """
+    llr_clip = jnp.float32(constants.LLR_CLIP)
+    b = llr_col.shape[1]
+    nc, nr = t.num_col, t.num_row
+    e = t.num_edges
+    llr_s = llr_col[t.col_sort]  # degree-sorted column order
+
+    def body(state):
+        i, c2v, cc_hat, conv, iters, ss = state  # c2v: [E, B] col-flat
+        # --- VN per column class ---
+        posts, v2cs = [], []
+        off = base = 0
+        for d, n in t.col_classes:
+            blk = jax.lax.slice_in_dim(c2v, off, off + d * n).reshape(d, n, b)
+            post_k = jax.lax.slice_in_dim(llr_s, base, base + n) + jnp.sum(blk, axis=0)
+            posts.append(post_k)
+            v2cs.append((post_k[None, :, :] - blk).reshape(d * n, b))
+            off += d * n
+            base += n
+        post = jnp.concatenate(posts, axis=0)  # [nc, B] sorted
+        v2c = jnp.concatenate(v2cs, axis=0)  # [E, B] col-flat
+        hard = (post <= 0).astype(jnp.int8)
+        cc_hat = jnp.where(conv[None, :], cc_hat, hard)
+        # --- syndrome: gather hard bits to row-flat edges (bit-identical to
+        # the sign of v2c + c2v at the edge's column) ---
+        hard_edge = hard[t.row_col_cf]  # [E, B] int8
+        parts = []
+        roff = 0
+        for d, n in t.row_classes:
+            pe = jax.lax.slice_in_dim(hard_edge, roff, roff + d * n).reshape(d, n, b)
+            parts.append(jnp.sum(pe.astype(jnp.int32), axis=0) % 2)
+            roff += d * n
+        parity = jnp.concatenate(parts, axis=0)  # [nr, B] sorted
+        ok = jnp.all(parity == 0, axis=0)
+        iters = iters + (~conv).astype(jnp.int32)
+        conv_after = conv | ok
+        # --- CN per row class ---
+        v2c_row = v2c[t.perm_cf_r2c]  # [E, B] row-flat
+        news, sss = [], []
+        roff = 0
+        for d, n in t.row_classes:
+            blk = jax.lax.slice_in_dim(v2c_row, roff, roff + d * n).reshape(d, n, b)
+            sign = jnp.where(blk < 0, -1.0, 1.0)
+            mag = jnp.maximum(jnp.abs(blk), _PHI_ARG_MIN)
+            ph = phi(mag)
+            phi_sum = jnp.sum(ph, axis=0)  # [n, B]
+            sign_prod = jnp.prod(sign, axis=0)
+            excl_phi = jnp.maximum(phi_sum[None, :, :] - ph, constants.SMALLEST_PROB)
+            excl_sign = sign_prod[None, :, :] * sign
+            news.append(
+                (excl_sign * jnp.minimum(phi(excl_phi), llr_clip)).reshape(d * n, b)
+            )
+            sss.append(0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum)))
+            roff += d * n
+        new_flat = jnp.concatenate(news, axis=0)  # [E, B] row-flat
+        ss_new = jnp.concatenate(sss, axis=0)  # [nr, B] sorted
+        c2v_new = new_flat[t.perm_cf_c2r]  # back to col-flat
+        c2v = jnp.where(conv_after[None, :], c2v, c2v_new)
+        ss = jnp.where(conv_after[None, :], ss, ss_new)
+        return i + 1, c2v, cc_hat, conv_after, iters, ss
+
+    def cond(state):
+        i, _, _, conv, _, _ = state
+        return jnp.logical_and(i < iter_count, ~jnp.all(conv))
+
+    state = (
+        jnp.int32(0),
+        jnp.zeros((e, b), jnp.float32),
+        jnp.zeros((nc, b), jnp.int8),
+        jnp.zeros((b,), bool),
+        jnp.zeros((b,), jnp.int32),
+        jnp.ones((nr, b), jnp.float32),
+    )
+    _, _, cc_hat, conv, iters, ss = jax.lax.while_loop(cond, body, state)
+    cc_orig = cc_hat[t.col_unsort]  # undo the degree sort
+    ss_orig = ss[t.row_unsort]
+    uu_hat = jax.lax.dynamic_slice_in_dim(cc_orig, t.info_start, t.code_dim, 0)
+    return DecodeResult(uu_hat, cc_orig, conv, iters, ss_orig)
+
+
+def _decode_cols_padded(
+    t: DecoderTables, llr_col: jnp.ndarray, iter_count: int
+) -> DecodeResult:
     """Slot-major core loop on column-major LLRs [num_col, B].
 
     Messages live as [deg_max, nodes, B]; per-node reductions run over the

@@ -167,3 +167,41 @@ def test_two_phase_identical_to_single_phase(assets):
     r0 = make_flooding_decoder(code)(llr, 50)
     np.testing.assert_array_equal(np.asarray(r0.cc_hat), np.asarray(r1.cc_hat))
     np.testing.assert_array_equal(np.asarray(r0.iters), np.asarray(r1.iters))
+
+
+def test_class_layout_identical_to_padded_5g(assets):
+    """The dense degree-class core (irregular codes) must be bit-identical to
+    the padded slot-major core and the batch-major reference decoder —
+    including soft syndromes and per-codeword iteration counts."""
+    from kmldpc_tpu.decoder.bp_em import (
+        _decode_cols_classes,
+        _decode_cols_padded,
+        _insert_punct,
+        flooding_decode_em,
+    )
+
+    code = load_code(str(assets / "5GLDPCBG2a3_R12_K960.txt"))
+    t = DecoderTables.from_code(code)
+    assert not t.is_regular
+    # degree classes cover every edge exactly once
+    assert sum(d * n for d, n in t.col_classes) == t.num_edges
+    assert sum(d * n for d, n in t.row_classes) == t.num_edges
+    rng = np.random.default_rng(11)
+    b = 48
+    uu = rng.integers(0, 2, size=(b, code.code_dim)).astype(np.uint8)
+    cc = np.stack([code.encode_reference(u) for u in uu])
+    sig = 1 - 2 * cc[:, code.punct :].astype(np.float64)
+    llr = jnp.asarray(2.6 * sig + rng.normal(scale=2.2, size=sig.shape), jnp.float32)
+    llr_col = _insert_punct(t, llr.T)
+    rc = jax.jit(_decode_cols_classes, static_argnums=2)(t, llr_col, 30)
+    rp = jax.jit(_decode_cols_padded, static_argnums=2)(t, llr_col, 30)
+    for a, e in zip(rc, rp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(e))
+    # public entry dispatches irregular codes to the class core
+    r0 = make_flooding_decoder(code)(llr, 30)
+    r1 = flooding_decode_em(t, llr, 30)
+    np.testing.assert_array_equal(np.asarray(r0.cc_hat), np.asarray(r1.cc_hat))
+    np.testing.assert_array_equal(np.asarray(r0.iters), np.asarray(r1.iters))
+    np.testing.assert_array_equal(
+        np.asarray(r0.soft_syndrome), np.asarray(r1.soft_syndrome)
+    )
