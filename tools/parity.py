@@ -89,9 +89,14 @@ def compare(ref: dict[float, dict], ours: list[dict], info_bits: int) -> list[di
 
 def main() -> int:
     ref_log, ours_json = sys.argv[1], sys.argv[2]
-    info_bits = int(sys.argv[3]) if len(sys.argv) > 3 else 1152
     ref = parse_reference_log(ref_log)
     ours = json.load(open(ours_json))
+    if len(sys.argv) > 3:
+        info_bits = int(sys.argv[3])
+    else:
+        # the reference counts err_bit over K info bits per block; infer K
+        # from our sweep's counters (tot_bit = tot_blk * K)
+        info_bits = round(ours[0]["tot_bit"] / ours[0]["tot_blk"])
     rows = compare(ref, ours, info_bits)
     worst = 0.0
     print(f"{'SNR':>6} {'ref FER':>10} {'our FER':>10} {'z':>6}   {'ref BER':>10} {'our BER':>10} {'z':>6}")
