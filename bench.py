@@ -56,13 +56,16 @@ def main() -> None:
     snr = 15.0
     var = np.float32(10.0 ** (-0.1 * snr))
     batch = int(os.environ.get("KMLDPC_BENCH_BATCH", "1024"))
+    # "float32" (reference-parity default) or "bfloat16" (opt-in message
+    # storage dtype; statistically equivalent BER/FER — see PARITY.md).
+    dtype = os.environ.get("KMLDPC_BENCH_DTYPE", "float32")
     key = jax.random.key(0)
 
     def build(known_h: bool):
         spec = ChainSpec(
             code=code, constellation=const, known_h=known_h, fading=True,
             metric_type=False, metric_iter=5, max_iter=50,
-            encoder_active=True, histogram=False,
+            encoder_active=True, histogram=False, dtype=dtype,
         )
         return make_chunk_runner(spec, batch)
 

@@ -88,6 +88,11 @@ class ChainSpec:
     # metrics always use the flooding decoder (soft-syndrome semantics).
     schedule: str = "flooding"
     minsum_alpha: float = 0.75
+    # BP message storage dtype: "float32" (reference-parity default) or
+    # "bfloat16" (opt-in: halves decoder HBM traffic; statistically — not
+    # bitwise — equivalent BER/FER, see PARITY.md).  Applies to the
+    # flooding final decode; ambiguity-metric decodes stay f32.
+    dtype: str = "float32"
     # k-means implementation: "auto" (Pallas kernel on TPU backends, pure
     # JAX elsewhere), "jax", or "pallas".
     kmeans_impl: str = "auto"
@@ -106,6 +111,7 @@ class ChainSpec:
             histogram=cfg.histogram.enable,
             schedule=cfg.tpu.schedule,
             minsum_alpha=cfg.tpu.minsum_alpha,
+            dtype=cfg.tpu.dtype,
         )
 
 
@@ -135,6 +141,9 @@ def build_chain_fn(
     demap = make_soft_demapper(tables)
     if spec.schedule not in ("flooding", "layered-minsum"):
         raise ValueError(f"unknown schedule {spec.schedule!r}")
+    if spec.dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown tpu.dtype {spec.dtype!r}")
+    msg_dtype = jnp.float32 if spec.dtype == "float32" else jnp.bfloat16
     impl = spec.kmeans_impl
     if impl == "auto":
         # Pallas kernel on TPU backends; jax 0.9.0 hits a closed_call
@@ -213,6 +222,7 @@ def build_chain_fn(
                 res = flooding_decode_two_phase(
                     params.dec, chan_llr, spec.max_iter,
                     phase1_iters=8, tile=max(8, batch // 8),
+                    msg_dtype=msg_dtype,
                 )
             uu_hat = res.uu_hat
             mean_iters = jnp.mean(res.iters.astype(jnp.float32))

@@ -205,3 +205,28 @@ def test_class_layout_identical_to_padded_5g(assets):
     np.testing.assert_array_equal(
         np.asarray(r0.soft_syndrome), np.asarray(r1.soft_syndrome)
     )
+
+
+def test_bfloat16_message_mode(assets):
+    """Opt-in bf16 message storage: correct decoding at light noise on both
+    core layouts, and the two-phase wrapper stays bit-identical to the
+    single-phase decoder at the same dtype."""
+    from kmldpc_tpu.decoder.bp_em import flooding_decode_em, flooding_decode_two_phase
+
+    for fname in ("PEG2304regular0.5.txt", "5GLDPCBG2a3_R12_K960.txt"):
+        code = load_code(str(assets / fname))
+        t = DecoderTables.from_code(code)
+        rng = np.random.default_rng(13)
+        b = 32
+        uu = rng.integers(0, 2, size=(b, code.code_dim)).astype(np.uint8)
+        cc = np.stack([code.encode_reference(u) for u in uu])
+        sig = 1 - 2 * cc[:, code.punct :].astype(np.float64)
+        llr = jnp.asarray(6.0 * sig + rng.normal(scale=2.0, size=sig.shape), jnp.float32)
+        em = jax.jit(flooding_decode_em, static_argnums=(2, 3))
+        r1 = em(t, llr, 50, jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(r1.uu_hat), uu)
+        assert np.asarray(r1.converged).all()
+        tp = jax.jit(flooding_decode_two_phase, static_argnums=(2, 3, 4, 5))
+        r2 = tp(t, llr, 50, 4, 8, jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(r1.cc_hat), np.asarray(r2.cc_hat))
+        np.testing.assert_array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
