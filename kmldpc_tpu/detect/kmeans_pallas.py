@@ -28,8 +28,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile(n: int, cap: int = 512) -> int:
-    for t in (512, 448, 384, 336, 256, 224, 192, 160, 128, 96, 64, 32, 16, 8):
+def _pick_tile_sublane(n: int, cap: int = 256) -> int:
+    """Second-to-last block dim: any multiple of 8 that divides n."""
+    for t in (256, 224, 192, 160, 128, 96, 64, 32, 16, 8):
+        if t <= cap and n % t == 0:
+            return t
+    return n
+
+
+def _pick_tile_lane(n: int, cap: int = 512) -> int:
+    """Last block dim: Mosaic requires a multiple of 128 OR the full
+    dimension (e.g. 480 or 1344 symbols have no x128 divisor)."""
+    for t in (512, 384, 256, 128):
         if t <= cap and n % t == 0:
             return t
     return n
@@ -84,8 +94,8 @@ def _assign_accumulate(yr, yi, hr, hi, sr, si, m_points: int):
     body triggers a closed_call lowering-cache KeyError in jax 0.9.0 when
     the body also contains a pallas_call."""
     b, nsym = yr.shape
-    tb = _pick_tile(b, 256)
-    ts = _pick_tile(nsym, 512)
+    tb = _pick_tile_sublane(b, 256)
+    ts = _pick_tile_lane(nsym, 512)
     grid = (b // tb, nsym // ts)
     out_shape = jax.ShapeDtypeStruct((b, m_points), jnp.float32)
     spec_y = pl.BlockSpec((tb, ts), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -149,7 +159,18 @@ def make_blind_estimator_pallas(tables, iters: int = 20, anchor: str = "max"):
         # oscillate in small limit cycles and never satisfy exact equality,
         # so a batch-wide early-stop never fires and only adds predicate
         # overhead.  Fixed budget, like the reference's worst case.
-        h_r, h_i = jax.lax.fori_loop(0, iters, body, (h_r, h_i))
+        #
+        # jax 0.9.0 hits a closed_call lowering-cache KeyError when a
+        # larger pallas_call sits inside a fori_loop body; unrolling the
+        # (static, small) iteration count avoids the loop entirely for
+        # M > 4 at a modest compile-time cost.
+        if m > 4:
+            h = (h_r, h_i)
+            for it in range(iters):
+                h = body(it, h)
+            h_r, h_i = h
+        else:
+            h_r, h_i = jax.lax.fori_loop(0, iters, body, (h_r, h_i))
         h4_r = jnp.stack([h_r, -h_i, -h_r, h_i], axis=1)
         h4_i = jnp.stack([h_i, h_r, -h_i, -h_r], axis=1)
         return h4_r, h4_i
