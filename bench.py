@@ -24,19 +24,31 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
 
-def measure(runner, key, var, warmup: int = 2, steps: int = 12) -> float:
+def measure(runner, key, var, steps: int = 12) -> float:
     """Steady-state seconds per chunk, pipelined.
 
     Chunks are dispatched back-to-back without intermediate syncs — exactly
     how the Monte-Carlo driver issues them (double-buffered, see
     sim/montecarlo.py) — so the host<->device round-trip latency overlaps
     compute instead of being serialized into every chunk.
+
+    Warmup is adaptive: the dev-tunnel relay serves the first executions of
+    a freshly compiled program through a slow path for a variable number of
+    dispatches (observed up to ~10x for several chunks after another
+    process released the chip), so small mini-batches are timed until two
+    consecutive ones agree before the measured run starts.
     """
     import jax
 
-    for i in range(warmup):
-        res = runner(jax.random.fold_in(key, i), var)
-    jax.block_until_ready(res)
+    prev = None
+    for i in range(12):  # each probe = 3 pipelined chunks
+        t0 = time.perf_counter()
+        res = [runner(jax.random.fold_in(key, 3 * i + j), var) for j in range(3)]
+        jax.block_until_ready(res)
+        dt = time.perf_counter() - t0
+        if prev is not None and i >= 2 and dt < prev * 1.15 and prev < dt * 1.15:
+            break
+        prev = dt
     t0 = time.perf_counter()
     results = [runner(jax.random.fold_in(key, 100 + i), var) for i in range(steps)]
     jax.block_until_ready(results)
