@@ -1,0 +1,84 @@
+"""True multi-process jax.distributed test (2 processes x 2 CPU devices).
+
+SURVEY.md §4 calls for multi-host tests on CPU via jax.distributed; the
+virtual-mesh tests (test_parallel.py) cover sharding semantics inside one
+process, and this one covers the actual cross-process path: Gloo
+collectives, replicated psum'd counters, and the lockstep stopping-rule
+contract (every process sees identical global counters).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, sys.argv[3])
+    os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:" + sys.argv[2]
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = sys.argv[1]
+    from kmldpc_tpu.parallel.distributed import maybe_initialize
+    assert maybe_initialize(), "expected multi-process"
+    import jax, numpy as np
+    assert jax.process_count() == 2 and len(jax.devices()) == 4
+    from kmldpc_tpu.code import load_code
+    from kmldpc_tpu.io import parse_constellation
+    from kmldpc_tpu.parallel import get_mesh, make_sharded_chunk_runner
+    from kmldpc_tpu.sim.chain import ChainSpec
+    root = sys.argv[3]
+    code = load_code(os.path.join(root, "assets", "PEG2304regular0.5.txt"))
+    const = parse_constellation(os.path.join(root, "assets", "2bits_QPSK.txt"))
+    spec = ChainSpec(code=code, constellation=const, known_h=True, fading=True,
+                     metric_type=False, metric_iter=5, max_iter=20,
+                     encoder_active=True, histogram=False)
+    runner = make_sharded_chunk_runner(spec, batch=16, mesh=get_mesh())
+    res = runner(jax.random.key(0), np.float32(10 ** (-1.6)))
+    # counters are GLOBAL (psum over the whole 2-process mesh) and identical
+    # in every process -- the lockstep stopping-rule contract
+    print("RESULT", int(res.tot_blk), int(res.err_blk), int(res.tot_bit), flush=True)
+    """
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_counters(tmp_path):
+    # bounded by the workers' communicate(timeout=220) below
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if "axon" not in v.lower()}
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), port, root],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=220)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    results = {line for o in outs for line in o.splitlines() if line.startswith("RESULT")}
+    # both processes report the same replicated global counters
+    assert len(results) == 1, results
+    _, tot_blk, err_blk, tot_bit = results.pop().split()
+    assert int(tot_blk) == 16
+    assert int(tot_bit) == 16 * 1152
+    assert int(err_blk) <= 1
