@@ -85,6 +85,10 @@ class TpuConfig:
     schedule: str = "flooding"
     # Normalization factor for min-sum (standard 5G choice).
     minsum_alpha: float = 0.75
+    # Exact two-phase decode tuning (bit-identical results for any value):
+    # phase-1 iterations on the full batch, phase-2 tile width (0 = batch/8).
+    phase1_iters: int = 6
+    tile: int = 0
     # Data-parallel axis size; 0 = use all visible devices.
     data_parallel: int = 0
     # Rayleigh fading per block (reference behavior, simulator.cc:121-123).

@@ -96,6 +96,12 @@ class ChainSpec:
     # k-means implementation: "auto" (Pallas kernel on TPU backends, pure
     # JAX elsewhere), "jax", or "pallas".
     kmeans_impl: str = "auto"
+    # Exact two-phase decode knobs (decoder/bp_em.py): phase-1 iteration
+    # budget on the full batch, and the compacted phase-2 tile width
+    # (0 = batch // 8).  Results are bit-identical for any setting; only
+    # the cost changes with the operating FER.
+    phase1_iters: int = 6
+    tile: int = 0
 
     @staticmethod
     def from_config(cfg: Config, code: LDPCCode, constellation: Constellation) -> "ChainSpec":
@@ -112,6 +118,8 @@ class ChainSpec:
             schedule=cfg.tpu.schedule,
             minsum_alpha=cfg.tpu.minsum_alpha,
             dtype=cfg.tpu.dtype,
+            phase1_iters=cfg.tpu.phase1_iters,
+            tile=cfg.tpu.tile,
         )
 
 
@@ -214,14 +222,16 @@ def build_chain_fn(
                         params.ms, llr, it, spec.minsum_alpha
                     ),
                     chan_llr, spec.max_iter,
-                    phase1_iters=8, tile=max(8, batch // 8),
+                    phase1_iters=spec.phase1_iters,
+                    tile=spec.tile or max(8, batch // 8),
                 )
             else:
                 # exact two-phase flooding (bit-identical to the plain
                 # decoder; see decoder/bp_em.py)
                 res = flooding_decode_two_phase(
                     params.dec, chan_llr, spec.max_iter,
-                    phase1_iters=8, tile=max(8, batch // 8),
+                    phase1_iters=spec.phase1_iters,
+                    tile=spec.tile or max(8, batch // 8),
                     msg_dtype=msg_dtype,
                 )
             uu_hat = res.uu_hat
