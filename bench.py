@@ -71,6 +71,9 @@ def main() -> None:
     # "float32" (reference-parity default) or "bfloat16" (opt-in message
     # storage dtype; statistically equivalent BER/FER — see PARITY.md).
     dtype = os.environ.get("KMLDPC_BENCH_DTYPE", "float32")
+    # sub-chunks folded per device launch (amortizes ~3 ms/launch of relay
+    # overhead; see sim/chain.py make_chunk_runner)
+    cpl = int(os.environ.get("KMLDPC_BENCH_CPL", "4"))
     key = jax.random.key(0)
 
     def build(known_h: bool):
@@ -79,23 +82,24 @@ def main() -> None:
             metric_type=False, metric_iter=5, max_iter=50,
             encoder_active=True, histogram=False, dtype=dtype,
         )
-        return make_chunk_runner(spec, batch)
+        return make_chunk_runner(spec, batch, cpl)
 
     dev = jax.devices()[0]
     print(f"bench: device={dev} batch={batch} snr={snr}", file=sys.stderr)
 
     blind = build(known_h=False)
-    t_blind = measure(blind, key, var)
+    t_blind = measure(blind, key, var) / cpl
     blind_bits = batch * code.code_dim / t_blind
 
     known = build(known_h=True)
-    t_known = measure(known, key, var)
+    t_known = measure(known, key, var) / cpl
     known_bits = batch * code.code_dim / t_known
 
     print(
         f"bench: blind {batch / t_blind:.0f} blk/s ({blind_bits:.3e} bits/s), "
         f"known-h {batch / t_known:.0f} blk/s ({known_bits:.3e} bits/s), "
-        f"chunk latency blind {t_blind * 1e3:.1f} ms known {t_known * 1e3:.1f} ms",
+        f"per-1024-chunk latency blind {t_blind * 1e3:.1f} ms known {t_known * 1e3:.1f} ms "
+        f"({cpl} sub-chunks/launch)",
         file=sys.stderr,
     )
 

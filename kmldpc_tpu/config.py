@@ -89,6 +89,11 @@ class TpuConfig:
     # phase-1 iterations on the full batch, phase-2 tile width (0 = batch/8).
     phase1_iters: int = 6
     tile: int = 0
+    # Sub-chunks folded into one device launch (lax.scan). Each launch
+    # through the dev tunnel costs ~3 ms of fixed host/relay overhead, so
+    # folding 4 lifts steady-state throughput ~1.3x; the stopping-rule
+    # granularity becomes chunks_per_launch * batch blocks.
+    chunks_per_launch: int = 4
     # Data-parallel axis size; 0 = use all visible devices.
     data_parallel: int = 0
     # Rayleigh fading per block (reference behavior, simulator.cc:121-123).

@@ -253,19 +253,49 @@ def build_chain_fn(
 
 
 def make_chunk_runner(
-    spec: ChainSpec, batch: int
+    spec: ChainSpec, batch: int, chunks_per_launch: int = 1
 ) -> Callable[[jax.Array, jnp.ndarray], ChunkResult]:
     """Build the jitted ``run_chunk(key, var) -> ChunkResult``.
 
     ``var`` is a traced noise variance 10^(-SNR/10) (simulator.cc:74), so one
     compiled program serves every SNR point; the parameter pytree is bound
     here and passed as runtime arguments.
+
+    ``chunks_per_launch > 1`` folds that many ``batch``-sized sub-chunks
+    into ONE dispatch via ``lax.scan`` and returns their summed counters
+    (metrics stacked to ``[n*batch, 4]``).  Each launch through the dev
+    tunnel costs ~3 ms of fixed host/relay work regardless of batch size —
+    measured: folding 4 sub-chunks lifts the blind QPSK headline ~1.3x.
+    Scaling the batch itself instead is NOT equivalent: the two-phase
+    decoder's compaction dynamics degrade above ~1024 codewords.
     """
     params = make_chain_params(spec)
-    jitted = jax.jit(build_chain_fn(spec, batch))
+    chain = build_chain_fn(spec, batch)
+    n = max(1, chunks_per_launch)
+    if n == 1:
+        fn = chain
+    else:
+
+        def fn(params: ChainParams, key: jax.Array, var) -> ChunkResult:
+            def step(carry, k):
+                return carry, chain(params, k, var)
+
+            _, rs = jax.lax.scan(step, 0, jax.random.split(key, n))
+            return ChunkResult(
+                err_bit=jnp.sum(rs.err_bit),
+                err_blk=jnp.sum(rs.err_blk),
+                tot_bit=jnp.sum(rs.tot_bit),
+                tot_blk=jnp.sum(rs.tot_blk),
+                metrics=rs.metrics.reshape(n * batch, -1),
+                iters=jnp.mean(rs.iters),
+                raw=rs.raw,
+            )
+
+    jitted = jax.jit(fn)
 
     def run_chunk(key: jax.Array, var) -> ChunkResult:
         return jitted(params, key, var)
 
     run_chunk.params = params  # type: ignore[attr-defined]
+    run_chunk.blocks_per_launch = n * batch  # type: ignore[attr-defined]
     return run_chunk

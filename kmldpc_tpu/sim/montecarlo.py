@@ -6,12 +6,15 @@ driver loop around one jitted chunk program:
 
 * SNR points run sequentially against the *same* compiled chunk (the noise
   variance is a traced argument), instead of one pool thread per SNR.
-* Within an SNR point, chunks of ``batch`` codewords are launched until the
-  reference's stopping rules hit: ``tot_blk >= maximum_block_number`` or
-  ``err_blk >= maximum_error_number`` (simulator.cc:117).  The check runs
-  between chunks, so a sweep can overrun by at most one chunk — the same
-  kind of overrun the reference's in-flight worker blocks produce
-  (documented divergence: chunk-granular instead of block-granular).
+* Within an SNR point, launches of ``chunks_per_launch x batch`` codewords
+  are issued until the reference's stopping rules hit:
+  ``tot_blk >= maximum_block_number`` or ``err_blk >= maximum_error_number``
+  (simulator.cc:117).  The check runs between launches and counts the
+  in-flight launch toward the block cap, so fixed-block sweeps stop exactly
+  at the cap (rounded up to whole launches); the error-count rule can
+  overrun by the one in-flight launch — the same kind of overrun the
+  reference's in-flight worker blocks produce (documented divergence:
+  launch-granular instead of block-granular).
 * BER = err_bit/tot_bit and FER = err_blk/tot_blk over all counted blocks
   (sourcesink.cc:39-46); telemetry lines use the reference's format.
 * Counters are periodically checkpointed to JSON so an interrupted sweep
@@ -82,6 +85,10 @@ class Simulator:
         # Shape the chunk to the request: a smoke config asking for 1 block
         # must not pay for a 1024-codeword chunk.
         self.batch = max(1, min(cfg.tpu.batch, cfg.range.maximum_block_number))
+        # fold several sub-chunks into one launch, but never ask for more
+        # blocks per launch than the whole sweep point needs
+        cpl = max(1, min(cfg.tpu.chunks_per_launch,
+                         -(-cfg.range.maximum_block_number // self.batch)))
         if runner_factory is not None:
             self.runner = runner_factory(self.spec, self.batch)
         else:
@@ -94,7 +101,7 @@ class Simulator:
                 self.runner = make_sharded_chunk_runner(self.spec, self.batch, mesh)
                 self.log.info(f"Mesh: {ndev} devices, data-parallel batch {self.batch}")
             else:
-                self.runner = make_chunk_runner(self.spec, self.batch)
+                self.runner = make_chunk_runner(self.spec, self.batch, cpl)
         self.root_key = jax.random.key(cfg.tpu.seed)
         self.log.info(
             f"[{cfg.range.minimum_snr:.3f},{cfg.range.step_snr:.3f},{cfg.range.maximum_snr:.3f}]"
@@ -176,8 +183,14 @@ class Simulator:
                 self._print_result(snr, c)
                 last_print = c.tot_blk
 
+        # count the not-yet-consumed in-flight launch toward the block cap,
+        # so a fixed-block sweep does not over-launch a whole extra chunk
+        per_launch = getattr(self.runner, "blocks_per_launch", self.batch)
         pending: ChunkResult | None = None
-        while c.tot_blk < max_blk and c.err_blk < max_err:
+        while (
+            c.tot_blk + (per_launch if pending is not None else 0) < max_blk
+            and c.err_blk < max_err
+        ):
             chunk_key = jax.random.fold_in(key, c.chunks)
             res: ChunkResult = self.runner(chunk_key, np.float32(var))
             c.chunks += 1

@@ -80,9 +80,10 @@ def test_stopping_rule_max_blocks(assets, tmp_path):
     )
     sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
     r = sim.run_snr_point(15.0)
-    # chunk-granular overrun: 16-block chunks until >= 50, plus one extra
-    # in-flight chunk from the double-buffered dispatch => 80
-    assert r.tot_blk == 80
+    # chunk-granular: 16-block launches until the cap is covered, counting
+    # the in-flight launch toward it (50 -> 4 launches = 64; the old
+    # behavior over-launched a 5th)
+    assert r.tot_blk == 64
     assert sim.batch == 16
 
 
@@ -136,7 +137,9 @@ def test_histogram_mode(assets, tmp_path, monkeypatch):
     files = [f for f in os.listdir(".") if f.startswith("histogram_")]
     assert len(files) == 1
     rows = [line.split() for line in open(files[0]) if line.strip()]
-    assert len(rows) == 16  # requested 8 + one in-flight chunk
+    # exactly the requested blocks: the driver counts the in-flight launch
+    # toward the block cap, so fixed-block sweeps no longer overrun
+    assert len(rows) == 8
     for row in rows:
         vals = [float(v) for v in row]
         assert len(vals) == 4
