@@ -72,8 +72,10 @@ def main() -> None:
     # storage dtype; statistically equivalent BER/FER — see PARITY.md).
     dtype = os.environ.get("KMLDPC_BENCH_DTYPE", "float32")
     # sub-chunks folded per device launch (amortizes ~3 ms/launch of relay
-    # overhead; see sim/chain.py make_chunk_runner)
-    cpl = int(os.environ.get("KMLDPC_BENCH_CPL", "4"))
+    # overhead; see sim/chain.py make_chunk_runner). The bench uses 16 —
+    # pure-throughput setting; the Simulator defaults to 8 to keep
+    # stopping-rule granularity at 8k blocks.
+    cpl = int(os.environ.get("KMLDPC_BENCH_CPL", "16"))
     key = jax.random.key(0)
 
     def build(known_h: bool):

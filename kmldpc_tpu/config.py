@@ -91,9 +91,9 @@ class TpuConfig:
     tile: int = 0
     # Sub-chunks folded into one device launch (lax.scan). Each launch
     # through the dev tunnel costs ~3 ms of fixed host/relay overhead, so
-    # folding 4 lifts steady-state throughput ~1.3x; the stopping-rule
+    # folding lifts steady-state throughput ~1.3-1.4x; the stopping-rule
     # granularity becomes chunks_per_launch * batch blocks.
-    chunks_per_launch: int = 4
+    chunks_per_launch: int = 8
     # Data-parallel axis size; 0 = use all visible devices.
     data_parallel: int = 0
     # Rayleigh fading per block (reference behavior, simulator.cc:121-123).
