@@ -42,13 +42,15 @@ def get_mesh(num_devices: int | None = None, devices=None) -> Mesh:
 
 
 def make_sharded_chunk_runner(
-    spec: ChainSpec, batch: int, mesh: Mesh
+    spec: ChainSpec, batch: int, mesh: Mesh, chunks_per_launch: int = 1
 ) -> Callable[[jax.Array, jnp.ndarray], ChunkResult]:
     """Build ``run_chunk(key, var)`` sharded over ``mesh``'s ``data`` axis.
 
     ``batch`` is the *global* chunk size; it must divide evenly by the mesh
     size.  Counters come back replicated (already psum-reduced); the metric
-    table stays batch-sharded.
+    table stays batch-sharded.  ``chunks_per_launch > 1`` folds that many
+    sub-chunks into one dispatch per device (same fixed-launch-overhead
+    amortization as the single-chip runner, sim/chain.py).
     """
     ndev = mesh.devices.size
     if batch % ndev != 0:
@@ -56,9 +58,28 @@ def make_sharded_chunk_runner(
     local_batch = batch // ndev
     chain = build_chain_fn(spec, local_batch)
     params = make_chain_params(spec)
+    n = max(1, chunks_per_launch)
+
+    def local_chunks(p, key: jax.Array, var: jnp.ndarray) -> ChunkResult:
+        if n == 1:
+            return chain(p, key, var)
+
+        def step(carry, k):
+            return carry, chain(p, k, var)
+
+        _, rs = jax.lax.scan(step, 0, jax.random.split(key, n))
+        return ChunkResult(
+            err_bit=jnp.sum(rs.err_bit),
+            err_blk=jnp.sum(rs.err_blk),
+            tot_bit=jnp.sum(rs.tot_bit),
+            tot_blk=jnp.sum(rs.tot_blk),
+            metrics=rs.metrics.reshape(n * local_batch, -1),
+            iters=jnp.mean(rs.iters),
+            raw=rs.raw,
+        )
 
     def per_device(p, keys: jax.Array, var: jnp.ndarray) -> ChunkResult:
-        res = chain(p, keys[0], var)
+        res = local_chunks(p, keys[0], var)
         return ChunkResult(
             err_bit=jax.lax.psum(res.err_bit, "data"),
             err_blk=jax.lax.psum(res.err_blk, "data"),
@@ -93,4 +114,5 @@ def make_sharded_chunk_runner(
         return jitted(params, keys, var)
 
     run_chunk.params = params  # type: ignore[attr-defined]
+    run_chunk.blocks_per_launch = n * batch  # type: ignore[attr-defined]
     return run_chunk

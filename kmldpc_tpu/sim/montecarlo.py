@@ -98,7 +98,7 @@ class Simulator:
 
                 self.batch -= self.batch % ndev  # make divisible
                 mesh = get_mesh(ndev)
-                self.runner = make_sharded_chunk_runner(self.spec, self.batch, mesh)
+                self.runner = make_sharded_chunk_runner(self.spec, self.batch, mesh, cpl)
                 self.log.info(f"Mesh: {ndev} devices, data-parallel batch {self.batch}")
             else:
                 self.runner = make_chunk_runner(self.spec, self.batch, cpl)

@@ -92,7 +92,9 @@ def test_stopping_rule_max_errors(assets):
         assets,
         range=dict(maximum_block_number=10**6, maximum_error_number=5),
         decoder=dict(true_h_arg=True),
-        tpu=dict(batch=32),
+        # chunks_per_launch=1 keeps this a tight unit test of the rule; the
+        # error-cap overrun is one launch (chunks_per_launch * batch blocks)
+        tpu=dict(batch=32, chunks_per_launch=1),
     )
     sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
     # -5 dB: every block fails => first chunk already exceeds 5 errors
