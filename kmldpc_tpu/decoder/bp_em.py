@@ -2,20 +2,28 @@
 
 Same algorithm and semantics as ``flooding_decode`` (LLR-domain tanh-rule
 flooding with the reference's clip/freeze behavior — see bp.py), but every
-message array is stored **edge-major**: ``[E, B]`` with the Monte-Carlo
-batch on the minor (lane) dimension.  All graph addressing then becomes
-gathers of *rows* (sublane-major), which XLA lowers to vectorized row
-copies, instead of per-lane gathers along the minor axis — measured ~5x
-faster per iteration at B=1024 on v5e.
+message array is stored **edge-major** with the Monte-Carlo batch on the
+minor (lane) dimension, so all graph addressing is gathers of *rows*
+(sublane-major) — vectorized row copies, not per-lane gathers.
 
-Addressing scheme per iteration (gather count: 3):
-  1. col-group gather: c2v rows by ``col_edge_idx`` -> [num_col, dcm, B],
-     summed to column totals (for regular codes dcm == dc and the padded
-     gather degenerates to a reshape-like contiguous copy).
-  2. v2c = llr_col + colsum broadcast back to edges minus c2v — the
-     broadcast uses ``edge_col`` (one row gather of [num_col+1, B]).
-  3. row-group gather by ``row_edge_idx`` for the check-node update; the
-     result scatters back via the ``edge_rowslot`` row gather.
+Messages live in ONE array: c2v in **row(-slot) layout**, the layout the
+check-node update naturally produces.  v2c never exists as a stored array —
+it is recomputed as ``post[col(e)] - c2v[e]`` inside the CN pass.  Per
+iteration that leaves exactly two gathers:
+
+  1. edge gather: c2v (row-flat [E, B]) -> column-grouped view, reduced to
+     column posteriors ``post = llr + colsum``.
+  2. node gather: ``post`` ([num_col, B]) broadcast to row-grouped edges;
+     one gather serves both the syndrome check (``post_edge <= 0``) and the
+     on-the-fly ``v2c = post_edge - c2v``.
+
+(The previous layout stored c2v column-major and paid a third edge-sized
+permute to materialize v2c in row order — measured 418 us/iteration at
+B=1024 on v5e vs 242 us for this scheme.)  Converged codewords freeze
+their *outputs* (hard decisions, iteration counts, soft syndromes); the
+message array itself keeps updating — all messages are clipped finite, so
+the frozen outputs are unaffected and the per-iteration freeze copy of the
+[E, B] state is saved.
 
 The public entry transposes [B, tx] -> [tx, B] on the way in and back on
 the way out, so callers see the same interface as bp.flooding_decode.
@@ -81,12 +89,13 @@ def _decode_cols_classes(
     slots and 36% of the row slots are padding, and every per-iteration
     pass pays that bandwidth.  Here columns and rows are sorted by degree
     (a one-time [nc]/[nr] permutation of the LLR input and hard/soft
-    outputs) and messages live in one flat dense [E, B] array in which
-    each degree class d owns a contiguous [d * n_k, B] span, viewed as
-    [d, n_k, B] for the node reductions — zero padding anywhere.  The
-    interleaver permutations and the int8 hard-bit syndrome gather are
-    the only cross-class data movement.  ~1.9x faster per iteration than
-    the padded layout on the BG2a3 code at B=1024 on v5e.
+    outputs) and c2v messages live in one flat dense row-flat [E, B] array
+    in which each degree class d owns a contiguous [d * n_k, B] span,
+    viewed as [d, n_k, B] for the node reductions — zero padding anywhere.
+    Per iteration only two gathers move data across classes: c2v row-flat
+    -> col-flat for the column reduction, and the [nc, B] posteriors ->
+    row-flat edges (serving both the syndrome check and the on-the-fly
+    ``v2c = post_edge - c2v``; see the module docstring).
     """
     llr_clip = jnp.float32(constants.LLR_CLIP)
     b = llr_col.shape[1]
@@ -95,42 +104,47 @@ def _decode_cols_classes(
     llr_s = llr_col[t.col_sort]  # degree-sorted column order
 
     def body(state):
-        i, c2v, cc_hat, conv, iters, ss = state  # c2v: [E, B] col-flat
-        # --- VN per column class ---
-        posts, v2cs = [], []
+        i, c2v, cc_hat, conv, iters, ss = state  # c2v: [E, B] row-flat
+        # --- VN per column class on the col-flat gathered view ---
+        c2v_col = c2v[t.perm_cf_c2r]  # [E, B] col-flat
+        posts = []
         off = base = 0
         for d, n in t.col_classes:
-            blk = jax.lax.slice_in_dim(c2v, off, off + d * n)
+            blk = jax.lax.slice_in_dim(c2v_col, off, off + d * n)
             blk = blk.reshape(d, n, b).astype(jnp.float32)
-            post_k = jax.lax.slice_in_dim(llr_s, base, base + n) + jnp.sum(blk, axis=0)
-            posts.append(post_k)
-            v2cs.append((post_k[None, :, :] - blk).astype(msg_dtype).reshape(d * n, b))
+            posts.append(
+                jax.lax.slice_in_dim(llr_s, base, base + n) + jnp.sum(blk, axis=0)
+            )
             off += d * n
             base += n
         post = jnp.concatenate(posts, axis=0)  # [nc, B] sorted
-        v2c = jnp.concatenate(v2cs, axis=0)  # [E, B] col-flat
         hard = (post <= 0).astype(jnp.int8)
         cc_hat = jnp.where(conv[None, :], cc_hat, hard)
-        # --- syndrome: gather hard bits to row-flat edges (bit-identical to
-        # the sign of v2c + c2v at the edge's column) ---
-        hard_edge = hard[t.row_col_cf]  # [E, B] int8
+        # --- node gather: posteriors to row-flat edges ---
+        post_edge = post[t.row_col_cf]  # [E, B] f32
+        # --- syndrome from the gathered posteriors (bit-identical to
+        # gathering the hard bits: (post <= 0) commutes with the gather) ---
         parts = []
         roff = 0
         for d, n in t.row_classes:
-            pe = jax.lax.slice_in_dim(hard_edge, roff, roff + d * n).reshape(d, n, b)
-            parts.append(jnp.sum(pe.astype(jnp.int32), axis=0) % 2)
+            pe = jax.lax.slice_in_dim(post_edge, roff, roff + d * n).reshape(d, n, b)
+            parts.append(jnp.sum((pe <= 0).astype(jnp.int32), axis=0) % 2)
             roff += d * n
         parity = jnp.concatenate(parts, axis=0)  # [nr, B] sorted
         ok = jnp.all(parity == 0, axis=0)
         iters = iters + (~conv).astype(jnp.int32)
         conv_after = conv | ok
-        # --- CN per row class ---
-        v2c_row = v2c[t.perm_cf_r2c]  # [E, B] row-flat
+        # --- CN per row class; v2c recomputed in place ---
         news, sss = [], []
         roff = 0
         for d, n in t.row_classes:
-            blk = jax.lax.slice_in_dim(v2c_row, roff, roff + d * n)
-            blk = blk.reshape(d, n, b).astype(jnp.float32)
+            pe = jax.lax.slice_in_dim(post_edge, roff, roff + d * n).reshape(d, n, b)
+            ce = (
+                jax.lax.slice_in_dim(c2v, roff, roff + d * n)
+                .reshape(d, n, b)
+                .astype(jnp.float32)
+            )
+            blk = pe - ce  # v2c for this row class
             sign = jnp.where(blk < 0, -1.0, 1.0)
             mag = jnp.maximum(jnp.abs(blk), _PHI_ARG_MIN)
             ph = phi(mag)
@@ -145,10 +159,8 @@ def _decode_cols_classes(
             )
             sss.append(0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum)))
             roff += d * n
-        new_flat = jnp.concatenate(news, axis=0)  # [E, B] row-flat
+        c2v = jnp.concatenate(news, axis=0)  # [E, B] row-flat
         ss_new = jnp.concatenate(sss, axis=0)  # [nr, B] sorted
-        c2v_new = new_flat[t.perm_cf_c2r]  # back to col-flat
-        c2v = jnp.where(conv_after[None, :], c2v, c2v_new)
         ss = jnp.where(conv_after[None, :], ss, ss_new)
         return i + 1, c2v, cc_hat, conv_after, iters, ss
 
@@ -176,12 +188,15 @@ def _decode_cols_padded(
 ) -> DecodeResult:
     """Slot-major core loop on column-major LLRs [num_col, B].
 
-    Messages live as [deg_max, nodes, B]; per-node reductions run over the
-    leading axis and flattening for the interleaver permutation is a free
-    major-dim merge.  Irregular codes use the same path with pad slots
-    neutralized by col/row masks (zero contribution on the column side,
-    sign=+1 / phi=0 on the row side); for regular codes the masks are
-    all-ones and the mask multiplies are skipped.
+    c2v messages live row-slot-major as [dr_max, num_row, B]; per-node
+    reductions run over the leading axis and flattening for the gathers is
+    a free major-dim merge.  Per iteration: one edge gather (c2v -> column
+    view), one node gather (posteriors -> row slots), and v2c recomputed as
+    ``post_edge - c2v`` inside the CN pass (module docstring).  Irregular
+    codes use the same path with pad slots neutralized by masks (zero
+    contribution on the column side, sign=+1 / phi=0 on the row side); for
+    regular codes the masks are all-ones and the mask multiplies are
+    skipped.
     """
     llr_clip = jnp.float32(constants.LLR_CLIP)
     b = llr_col.shape[1]
@@ -194,26 +209,28 @@ def _decode_cols_padded(
     row_col_sm = t.row_edge_col.T.reshape(-1)  # [drm*nr] col of each slot, nc = pad
 
     def body(state):
-        i, c2v, cc_hat, conv, iters, ss = state  # c2v: [dcm, nc, B] msg_dtype
-        # --- VN ---
-        c2vf = c2v.astype(jnp.float32)
-        colsum = jnp.sum(c2vf, axis=0)  # [nc, B] (pad slots hold 0)
-        post = llr_col + colsum
-        v2c = (post[None, :, :] - c2vf).astype(msg_dtype)  # garbage at pad slots
+        i, c2v, cc_hat, conv, iters, ss = state  # c2v: [drm, nr, B] msg_dtype
+        # --- VN on the column-gathered view ---
+        c2v_col = c2v.reshape(-1, b)[t.perm_sm_c2r].reshape(dcm, nc, b)
+        c2v_col = c2v_col.astype(jnp.float32)
+        if not regular:
+            c2v_col = c2v_col * cmask  # pad slots gathered garbage -> 0
+        post = llr_col + jnp.sum(c2v_col, axis=0)  # [nc, B]
         hard = (post <= 0).astype(jnp.int8)
         cc_hat = jnp.where(conv[None, :], cc_hat, hard)
-        # --- permute to slot-major row layout ---
-        v2c_row = v2c.reshape(-1, b)[t.perm_sm_r2c].reshape(drm, nr, b)
-        v2c_row = v2c_row.astype(jnp.float32)
-        # --- syndrome: gather the hard decisions to row slots (pad columns
-        # index the zero row, so they contribute no parity) ---
-        hard_pad = jnp.concatenate([hard, jnp.zeros((1, b), jnp.int8)], axis=0)
-        hard_edge = hard_pad[row_col_sm].reshape(drm, nr, b)
-        parity = jnp.sum(hard_edge.astype(jnp.int32), axis=0) % 2
+        # --- node gather: posteriors to row slots (pad columns index the
+        # appended +1 row: hard 0, no parity contribution, masked in CN) ---
+        if regular:
+            post_edge = post[row_col_sm].reshape(drm, nr, b)
+        else:
+            post_pad = jnp.concatenate([post, jnp.ones((1, b), jnp.float32)], axis=0)
+            post_edge = post_pad[row_col_sm].reshape(drm, nr, b)
+        parity = jnp.sum((post_edge <= 0).astype(jnp.int32), axis=0) % 2
         ok = jnp.all(parity == 0, axis=0)
         iters = iters + (~conv).astype(jnp.int32)
         conv_after = conv | ok
-        # --- CN ---
+        # --- CN; v2c recomputed in place ---
+        v2c_row = post_edge - c2v.astype(jnp.float32)
         sign = jnp.where(v2c_row < 0, -1.0, 1.0)
         mag = jnp.maximum(jnp.abs(v2c_row), _PHI_ARG_MIN)
         ph = phi(mag)
@@ -224,14 +241,8 @@ def _decode_cols_padded(
         sign_prod = jnp.prod(sign, axis=0)
         excl_phi = jnp.maximum(phi_sum[None, :, :] - ph, constants.SMALLEST_PROB)
         excl_sign = sign_prod[None, :, :] * sign
-        new_row = excl_sign * jnp.minimum(phi(excl_phi), llr_clip)  # [drm, nr, B]
+        c2v = (excl_sign * jnp.minimum(phi(excl_phi), llr_clip)).astype(msg_dtype)
         ss_new = 0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum))
-        # --- permute back + freeze ---
-        new_row = new_row.astype(msg_dtype)
-        c2v_new = new_row.reshape(-1, b)[t.perm_sm_c2r].reshape(dcm, nc, b)
-        if not regular:
-            c2v_new = c2v_new * cmask.astype(msg_dtype)  # pad slots stay exactly 0
-        c2v = jnp.where(conv_after[None, None, :], c2v, c2v_new)
         ss = jnp.where(conv_after[None, :], ss, ss_new)
         return i + 1, c2v, cc_hat, conv_after, iters, ss
 
@@ -241,7 +252,7 @@ def _decode_cols_padded(
 
     state = (
         jnp.int32(0),
-        jnp.zeros((dcm, nc, b), msg_dtype),
+        jnp.zeros((drm, nr, b), msg_dtype),
         jnp.zeros((nc, b), jnp.int8),
         jnp.zeros((b,), bool),
         jnp.zeros((b,), jnp.int32),
