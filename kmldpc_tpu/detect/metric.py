@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from ..code.ldpc import LDPCCode
 from ..decoder.bp import DecoderTables, count_failed_checks
 from ..decoder.bp_em import flooding_decode_em as flooding_decode
-from ..ops.modem import ModemTables, make_candidate_demapper, make_soft_demapper
+from ..ops.modem import ModemTables, make_soft_demapper
 
 
 def make_ambiguity_selector(
@@ -59,10 +59,6 @@ def make_ambiguity_selector(
     (used by histogram mode).
     """
     demap = make_soft_demapper(tables)
-    # pi/2-rotation-closed constellations (all shipped ones) evaluate the
-    # symbol likelihoods once and share them across the 4 candidates —
-    # value-identical to the folded 4-fold demap (ops/modem.py).
-    demap4 = make_candidate_demapper(tables)
     needs_decode = metric_type or code.is_5g
 
     def select(t: DecoderTables, yr, yi, h4_r, h4_i, var):
@@ -75,17 +71,12 @@ def make_ambiguity_selector(
         cheaper.
         """
         b, nsym = yr.shape
-        if demap4 is not None:
-            # one likelihood evaluation under candidate 0 serves all four
-            # rotations (candidates ARE h0 * j^k by construction, kmeans.py)
-            bit_p0, chan_llr = demap4(yr, yi, h4_r[:, 0], h4_i[:, 0], var)
-        else:
-            # fold candidates into the batch: [B, 4, Nsym] -> [4B, Nsym]
-            yr4 = jnp.broadcast_to(yr[:, None, :], (b, 4, nsym)).reshape(b * 4, nsym)
-            yi4 = jnp.broadcast_to(yi[:, None, :], (b, 4, nsym)).reshape(b * 4, nsym)
-            hr4 = h4_r.reshape(b * 4)
-            hi4 = h4_i.reshape(b * 4)
-            bit_p0, chan_llr = demap(yr4, yi4, hr4, hi4, var)
+        # fold candidates into the batch: [B, 4, Nsym] -> [4B, Nsym]
+        yr4 = jnp.broadcast_to(yr[:, None, :], (b, 4, nsym)).reshape(b * 4, nsym)
+        yi4 = jnp.broadcast_to(yi[:, None, :], (b, 4, nsym)).reshape(b * 4, nsym)
+        hr4 = h4_r.reshape(b * 4)
+        hi4 = h4_i.reshape(b * 4)
+        bit_p0, chan_llr = demap(yr4, yi4, hr4, hi4, var)
 
         if not needs_decode:
             # classic hard metric: inverted hard decision of the demap

@@ -37,26 +37,6 @@ from .. import constants
 from ..io.constellation import Constellation
 
 
-def rotation_permutations(points: np.ndarray) -> np.ndarray | None:
-    """``perm[k][s]`` = table index of ``j^k * points[s]``, or None.
-
-    All shipped constellations (PSK, square QAM, and their phase-rotated
-    variants) are closed as point sets under multiplication by j, which is
-    what makes the 4 blind-detection candidates ``h*j^k`` demappable from a
-    single likelihood evaluation (see :func:`make_candidate_demapper`).
-    Returns None when the set is not closed (within 1e-5 of the unit-energy
-    scale) so callers can fall back to the generic 4-fold demap.
-    """
-    perms = []
-    for k in range(4):
-        rot = points * (1j ** k)
-        idx = np.argmin(np.abs(points[None, :] - rot[:, None]), axis=1)
-        if np.abs(points[idx] - rot).max() > 1e-5 or len(set(idx)) != len(idx):
-            return None
-        perms.append(idx)
-    return np.asarray(perms, np.int32)
-
-
 @dataclasses.dataclass(frozen=True)
 class ModemTables:
     """Device-resident constellation tables."""
@@ -66,10 +46,6 @@ class ModemTables:
     points_im: jnp.ndarray  # [M] f32
     bit0_mask: jnp.ndarray  # [M, m] f32 — 1 where bit j of symbol k is 0
     pack_weights: jnp.ndarray  # [m] f32 — MSB-first powers of two
-    # [4, M, m] f32: rot_bit0_masks[k][t] = bit0_mask[inv_perm_k[t]] — the
-    # bit-0 mask seen by the t-th symbol likelihood when demapping the
-    # j^k-rotated candidate (None if the set is not rotation-closed).
-    rot_bit0_masks: jnp.ndarray | None = None
 
     @property
     def num_points(self) -> int:
@@ -78,21 +54,14 @@ class ModemTables:
     @staticmethod
     def from_constellation(c: Constellation) -> "ModemTables":
         m = c.bits_per_symbol
-        mask = c.bit0_mask().astype(np.float32)
-        perms = rotation_permutations(c.points)
-        rot_masks = None
-        if perms is not None:
-            inv = np.argsort(perms, axis=1)  # inv[k][t] = s with perm[k][s] = t
-            rot_masks = jnp.asarray(np.stack([mask[inv[k]] for k in range(4)]))
         return ModemTables(
             bits_per_symbol=m,
             points_re=jnp.asarray(c.points.real.astype(np.float32)),
             points_im=jnp.asarray(c.points.imag.astype(np.float32)),
-            bit0_mask=jnp.asarray(mask),
+            bit0_mask=jnp.asarray(c.bit0_mask().astype(np.float32)),
             pack_weights=jnp.asarray(
                 (2.0 ** np.arange(m - 1, -1, -1)).astype(np.float32)
             ),
-            rot_bit0_masks=rot_masks,
         )
 
 
@@ -158,57 +127,6 @@ def make_soft_demapper(
         return bit_p0, chan_llr
 
     return demap
-
-
-def make_candidate_demapper(tables: ModemTables):
-    """4-candidate demapper exploiting pi/2-rotation closure, or None.
-
-    The blind detector evaluates the soft demap under the four candidates
-    ``h_k = h * j^k`` (kmeans.py, simulator.cc:146-148).  Because every
-    shipped constellation is closed under multiplication by j,
-    ``|y - h_k s| = |y - h (j^k s)|``: candidate k's symbol likelihoods are
-    a *permutation* of candidate 0's.  So the expensive stage — the
-    [B, Nsym, M] distance/exp/normalize evaluation — runs ONCE under h_0,
-    and each candidate only pays its own bit marginalization against a
-    permuted bit-0 mask (``ModemTables.rot_bit0_masks``).  Value-identical
-    to folding the 4 candidates into the batch (the candidate rotations are
-    exact sign swaps, so the products agree bitwise), ~4x cheaper on the
-    dominant stage.
-
-    Returns ``demap4(yr, yi, h_r, h_i, var) -> (bit_p0, chan_llr)`` with
-    the same candidate-minor folded [4B, Nsym*m] layout the generic path
-    produces, or None if the constellation is not rotation-closed.
-    """
-    if tables.rot_bit0_masks is None:
-        return None
-    m = tables.bits_per_symbol
-    clip_lo = constants.SMALLEST_PROB
-    clip_hi = 1.0 - constants.SMALLEST_PROB
-
-    def demap4(yr, yi, hr, hi, var):
-        b, nsym = yr.shape
-        hs_re = hr[:, None] * tables.points_re[None, :] - hi[:, None] * tables.points_im[None, :]
-        hs_im = hr[:, None] * tables.points_im[None, :] + hi[:, None] * tables.points_re[None, :]
-        dre = yr[:, :, None] - hs_re[:, None, :]
-        dim = yi[:, :, None] - hs_im[:, None, :]
-        logits = -(dre * dre + dim * dim) / var  # [B, Nsym, M]
-        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        p = jnp.clip(p, clip_lo, clip_hi)
-        # per-candidate bit marginalization: [B, Nsym, M] x [4, M, m]
-        p0 = jnp.einsum("bsm,kmj->bksj", p, tables.rot_bit0_masks)
-        p1 = jnp.einsum("bsm,kmj->bksj", p, 1.0 - tables.rot_bit0_masks)
-        bit_p0 = p0 / (p0 + p1)
-        bit_p0 = jnp.clip(bit_p0, clip_lo, clip_hi).reshape(b * 4, nsym * m)
-        chan_llr = jnp.clip(
-            (jnp.log(p0) - jnp.log(p1)).reshape(b * 4, nsym * m),
-            -constants.LLR_CLIP,
-            constants.LLR_CLIP,
-        )
-        return bit_p0, chan_llr
-
-    return demap4
 
 
 def make_partition_demapper(tables: ModemTables, num_parts: int):

@@ -118,49 +118,3 @@ def test_selector_5g_hard_metric(assets):
     d_sel = np.hypot(np.asarray(sr) - np.asarray(hr), np.asarray(si) - np.asarray(hi))
     d_best = _best_candidate_err(h4_r, h4_i, hr, hi)
     np.testing.assert_allclose(d_sel, d_best, atol=1e-5)
-
-
-@pytest.mark.parametrize(
-    "modem_file",
-    ["2bits_QPSK.txt", "4bit_16QAM_Gray.txt", "4bit_16QAM_phi1.txt",
-     "4bit_16QAM_phi2.txt", "6bits_64QAM_Gray.txt"],
-)
-def test_rotation_closure_all_constellations(assets, modem_file):
-    """Every shipped constellation is closed under multiplication by j, so
-    the single-evaluation candidate demapper applies (ops/modem.py)."""
-    from kmldpc_tpu.ops.modem import rotation_permutations
-
-    const = parse_constellation(str(assets / modem_file))
-    perms = rotation_permutations(const.points)
-    assert perms is not None
-    for k in range(4):
-        np.testing.assert_allclose(
-            const.points[perms[k]], const.points * (1j**k), atol=1e-6
-        )
-    assert (perms[0] == np.arange(const.points.shape[0])).all()
-
-
-@pytest.mark.parametrize("modem_file", ["2bits_QPSK.txt", "4bit_16QAM_Gray.txt"])
-def test_candidate_demapper_matches_folded(assets, modem_file):
-    """The rotation-shared candidate demapper must reproduce the generic
-    folded 4-candidate demap (bit probabilities AND LLRs)."""
-    from kmldpc_tpu.ops.modem import make_candidate_demapper, make_soft_demapper
-
-    code = load_code(str(assets / "PEG2304regular0.5.txt"))
-    const = parse_constellation(str(assets / modem_file))
-    tables = ModemTables.from_constellation(const)
-    sigma = 10 ** (-12 / 20)
-    uu, yr, yi, hr, hi = _tx(code, tables, 3, sigma, batch=6)
-    b, nsym = yr.shape
-    # candidates h * j^k, exactly as the k-means estimator builds them
-    h4_r = jnp.stack([hr, -hi, -hr, hi], axis=1)
-    h4_i = jnp.stack([hi, hr, -hi, -hr], axis=1)
-    demap4 = make_candidate_demapper(tables)
-    assert demap4 is not None
-    p0_rot, llr_rot = jax.jit(demap4)(yr, yi, hr, hi, sigma**2)
-    demap = make_soft_demapper(tables)
-    yr4 = jnp.broadcast_to(yr[:, None, :], (b, 4, nsym)).reshape(b * 4, nsym)
-    yi4 = jnp.broadcast_to(yi[:, None, :], (b, 4, nsym)).reshape(b * 4, nsym)
-    p0_ref, llr_ref = jax.jit(demap)(yr4, yi4, h4_r.reshape(-1), h4_i.reshape(-1), sigma**2)
-    np.testing.assert_allclose(np.asarray(p0_rot), np.asarray(p0_ref), rtol=2e-5, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(llr_rot), np.asarray(llr_ref), rtol=2e-5, atol=2e-4)
