@@ -89,6 +89,48 @@ def test_bad_schedule_raises(assets, code5g):
         make_chunk_runner(spec, batch=4)
 
 
+def test_qc_fast_path_matches_generic(code5g):
+    """QC roll-based path is bit-identical to the generic gather/scatter
+    path (same layers, same per-edge arithmetic — see layered_minsum_decode
+    docstring)."""
+    import dataclasses
+
+    from kmldpc_tpu.decoder.minsum import layered_minsum_decode, minsum_tables
+
+    mt = minsum_tables(code5g)
+    assert mt.qc is not None, "5G BG2 decode graph should be detected as QC"
+    mt_gen = dataclasses.replace(mt, qc=None)
+    rng = np.random.default_rng(7)
+    b = 32
+    uu = rng.integers(0, 2, size=(b, code5g.code_dim)).astype(np.uint8)
+    cc = np.stack([code5g.encode_reference(u) for u in uu])
+    sig = 1 - 2 * cc[:, code5g.punct :].astype(np.float64)
+    llr = jax.numpy.asarray(
+        4.0 * sig + rng.normal(scale=2.6, size=sig.shape), jax.numpy.float32
+    )
+    dec = jax.jit(layered_minsum_decode, static_argnums=(2, 3))
+    r_qc = dec(mt, llr, 30, 0.75)
+    r_gen = dec(mt_gen, llr, 30, 0.75)
+    np.testing.assert_array_equal(np.asarray(r_qc.cc_hat), np.asarray(r_gen.cc_hat))
+    np.testing.assert_array_equal(np.asarray(r_qc.uu_hat), np.asarray(r_gen.uu_hat))
+    np.testing.assert_array_equal(np.asarray(r_qc.iters), np.asarray(r_gen.iters))
+    np.testing.assert_array_equal(
+        np.asarray(r_qc.converged), np.asarray(r_gen.converged)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_qc.soft_syndrome), np.asarray(r_gen.soft_syndrome),
+        rtol=0, atol=1e-6,
+    )
+    # the soft syndrome must be real (not the round-1 all-ones stub): an
+    # unconverged noisy batch has rows with P(XOR=0) well below 1
+    hopeless = jax.numpy.asarray(
+        rng.normal(scale=1.0, size=sig.shape), jax.numpy.float32
+    )
+    r_bad = dec(mt, hopeless, 5, 0.75)
+    ss = np.asarray(r_bad.soft_syndrome)
+    assert (ss < 0.9).any(), "soft syndrome should reflect unsatisfied rows"
+
+
 def test_minsum_two_phase_identical(code5g):
     """two_phase_generic over layered min-sum is bit-identical."""
     from kmldpc_tpu.decoder.bp_em import two_phase_generic
