@@ -129,6 +129,73 @@ def make_soft_demapper(
     return demap
 
 
+def make_prior_demapper(
+    tables: ModemTables,
+) -> Callable[..., tuple[jnp.ndarray, jnp.ndarray]]:
+    """Prior-in / extrinsic-out soft demapper — the full ``Modem::DeMapping``
+    capability (modem.cc:23-79), for iterative demodulation loops.
+
+    Returns ``demap(yr, yi, hr, hi, var, bit_p0_in) -> (bit_p0_out, ext_llr)``
+    where ``bit_p0_in`` is the extrinsic bit prior P(bit=0) from the decoder,
+    shaped [B, Nsym*m].  Semantics per the reference:
+
+    * symbol prior = product of the symbol's bit priors (modem.cc:34-45),
+    * posterior ∝ prior × channel likelihood, normalized (modem.cc:47-57),
+    * marginalize to bit posteriors, divide the prior back out
+      (modem.cc:59-73 — the extrinsic output), clip.
+
+    With uniform priors (0.5 everywhere) this is exactly
+    :func:`make_soft_demapper` — the constant prior product cancels in the
+    normalization and the ÷0.5 cancels in the ratio (pinned by test).  The
+    main reference pipeline only ever feeds uniform priors (kmcodec.cc:99-101),
+    so the simulation chain keeps the fused uniform demapper; this entry
+    point restores the API capability for iterative-demapping experiments.
+
+    f32 note: the reference's ProbClip bounds bitLin into [1e-12, 1-1e-12]
+    in f64, making both the prior and its complement ≥ 1e-12.  1-1e-12 is
+    not representable in f32, so the prior and its complement are clipped
+    *separately* — same effective bounds, no infinities.
+    """
+    m = tables.bits_per_symbol
+    clip_lo = constants.SMALLEST_PROB
+    clip_hi = 1.0 - constants.SMALLEST_PROB
+
+    def demap(yr, yi, hr, hi, var, bit_p0_in):
+        b, nsym = yr.shape
+        hs_re = hr[:, None] * tables.points_re[None, :] - hi[:, None] * tables.points_im[None, :]
+        hs_im = hr[:, None] * tables.points_im[None, :] + hi[:, None] * tables.points_re[None, :]
+        dre = yr[:, :, None] - hs_re[:, None, :]
+        dim = yi[:, :, None] - hs_im[:, None, :]
+        logits = -(dre * dre + dim * dim) / var  # [B, Nsym, M]
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.clip(p, clip_lo, clip_hi)  # symRin after ProbClip
+
+        pin = bit_p0_in.reshape(b, nsym, m)
+        pin0 = jnp.clip(pin, clip_lo, clip_hi)
+        pin1 = jnp.clip(1.0 - pin, clip_lo, clip_hi)
+        # symbol log-prior via MXU: [B, Nsym, m] @ [m, M] per bit value
+        log_prior = jnp.einsum(
+            "bsj,mj->bsm", jnp.log(pin0), tables.bit0_mask
+        ) + jnp.einsum("bsj,mj->bsm", jnp.log(pin1), 1.0 - tables.bit0_mask)
+        post = p * jnp.exp(log_prior - jnp.max(log_prior, axis=-1, keepdims=True))
+        post = post / jnp.sum(post, axis=-1, keepdims=True)
+        p0 = jnp.einsum("bsm,mj->bsj", post, tables.bit0_mask)
+        p1 = jnp.einsum("bsm,mj->bsj", post, 1.0 - tables.bit0_mask)
+        e0 = p0 / pin0  # extrinsic: divide the prior back out
+        e1 = p1 / pin1
+        bit_p0_out = jnp.clip(e0 / (e0 + e1), clip_lo, clip_hi).reshape(b, nsym * m)
+        ext_llr = jnp.clip(
+            (jnp.log(e0) - jnp.log(e1)).reshape(b, nsym * m),
+            -constants.LLR_CLIP,
+            constants.LLR_CLIP,
+        )
+        return bit_p0_out, ext_llr
+
+    return demap
+
+
 def make_partition_demapper(tables: ModemTables, num_parts: int):
     """Soft demapper for per-segment channel gains (``thetaList`` plumbing).
 

@@ -85,3 +85,38 @@ def demap_oracle(y: complex, h: complex, var: float, points: np.ndarray, bits: n
         p1 = p[bits[:, j] == 1].sum()
         out[j] = p0 / (p0 + p1)
     return np.clip(out, SMALLEST_PROB, 1 - SMALLEST_PROB)
+
+
+def demap_prior_oracle(
+    y: complex,
+    h: complex,
+    var: float,
+    points: np.ndarray,
+    bits: np.ndarray,
+    prior_p0: np.ndarray,
+):
+    """Brute-force Bayes prior-in / extrinsic-out demap for one symbol.
+
+    Replicates the full Modem::DeMapping (modem.cc:23-79): symbol prior =
+    product of bit priors (:34-45), posterior = prior x likelihood
+    normalized (:47-57), marginalize and divide the prior back out
+    (:59-73), clip.  float64 throughout.
+    """
+    prior_p0 = np.clip(prior_p0, SMALLEST_PROB, 1 - SMALLEST_PROB)
+    d2 = np.abs(y - h * points) ** 2 / var
+    logits = -(d2 - d2.min())
+    lik = np.exp(logits)
+    lik /= lik.sum()
+    lik = np.clip(lik, SMALLEST_PROB, 1 - SMALLEST_PROB)
+    m = bits.shape[1]
+    sym_prior = np.ones(points.shape[0])
+    for j in range(m):
+        sym_prior *= np.where(bits[:, j] == 0, prior_p0[j], 1 - prior_p0[j])
+    post = sym_prior * lik
+    post /= post.sum()
+    out = np.zeros(m)
+    for j in range(m):
+        e0 = post[bits[:, j] == 0].sum() / prior_p0[j]
+        e1 = post[bits[:, j] == 1].sum() / (1 - prior_p0[j])
+        out[j] = e0 / (e0 + e1)
+    return np.clip(out, SMALLEST_PROB, 1 - SMALLEST_PROB)

@@ -140,3 +140,64 @@ def test_demap_noiseless_certain(qpsk):
     bit_p0, chan_llr = demap(xr, xi, jnp.ones(1), jnp.zeros(1), 1e-4)
     decided = (np.asarray(chan_llr)[0] <= 0).astype(np.int8)
     np.testing.assert_array_equal(decided, np.asarray(cc)[0])
+
+
+@pytest.mark.parametrize("fname", ["2bits_QPSK.txt", "4bit_16QAM_Gray.txt"])
+def test_prior_demap_matches_bayes_oracle(assets, fname):
+    """Prior-in/extrinsic-out demap (modem.cc:23-79) vs a float64 oracle at
+    NON-uniform priors."""
+    from kmldpc_tpu.ops.modem import make_prior_demapper
+
+    from .oracle import demap_prior_oracle
+
+    c = parse_constellation(str(assets / fname))
+    tables = ModemTables.from_constellation(c)
+    demap = jax.jit(make_prior_demapper(tables))
+    rng = np.random.default_rng(11)
+    b, nsym = 3, 5
+    m = c.bits_per_symbol
+    y = rng.normal(size=(b, nsym)) + 1j * rng.normal(size=(b, nsym))
+    h = rng.normal(size=b) + 1j * rng.normal(size=b)
+    prior = rng.uniform(0.05, 0.95, size=(b, nsym * m))
+    var = 0.3
+    p0_out, ext_llr = demap(
+        jnp.asarray(y.real, jnp.float32),
+        jnp.asarray(y.imag, jnp.float32),
+        jnp.asarray(h.real, jnp.float32),
+        jnp.asarray(h.imag, jnp.float32),
+        var,
+        jnp.asarray(prior, jnp.float32),
+    )
+    got = np.asarray(p0_out).reshape(b, nsym, m)
+    ll = np.asarray(ext_llr).reshape(b, nsym, m)
+    for i in range(b):
+        for s in range(nsym):
+            expect = demap_prior_oracle(
+                y[i, s], h[i], var, c.points, c.bits,
+                prior[i, s * m:(s + 1) * m],
+            )
+            np.testing.assert_allclose(got[i, s], expect, rtol=5e-3, atol=1e-5)
+            np.testing.assert_allclose(
+                ll[i, s], np.log(expect / (1 - expect)), rtol=5e-3, atol=1e-3
+            )
+
+
+def test_prior_demap_uniform_equals_soft_demap(assets):
+    """At uniform 0.5 priors the prior demapper reduces exactly to the fused
+    uniform demapper (the reference's only operating point, kmcodec.cc:99-101)."""
+    from kmldpc_tpu.ops.modem import make_prior_demapper
+
+    c = parse_constellation(str(assets / "4bit_16QAM_Gray.txt"))
+    tables = ModemTables.from_constellation(c)
+    rng = np.random.default_rng(5)
+    b, nsym = 4, 8
+    yr = jnp.asarray(rng.normal(size=(b, nsym)), jnp.float32)
+    yi = jnp.asarray(rng.normal(size=(b, nsym)), jnp.float32)
+    hr = jnp.asarray(rng.normal(size=b), jnp.float32)
+    hi = jnp.asarray(rng.normal(size=b), jnp.float32)
+    var = 0.25
+    p0_u, llr_u = jax.jit(make_soft_demapper(tables))(yr, yi, hr, hi, var)
+    prior = jnp.full((b, nsym * c.bits_per_symbol), 0.5, jnp.float32)
+    p0_p, llr_p = jax.jit(make_prior_demapper(tables))(yr, yi, hr, hi, var, prior)
+    np.testing.assert_allclose(np.asarray(p0_p), np.asarray(p0_u), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(llr_p), np.asarray(llr_u), rtol=1e-4, atol=1e-4)

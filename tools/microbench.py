@@ -1,0 +1,264 @@
+"""On-chip microbenchmarks: decoder µs/iteration, k-means µs/call, chunk blk/s.
+
+Every per-component perf claim in benchmarks/RESULTS.md must be reproducible
+by a row of this harness (VERDICT round 1 item 10: numbers live in a
+re-runnable artifact, not commit messages).
+
+Usage:
+    timeout 900 python tools/microbench.py [--json out.json] [group ...]
+
+Groups (default: all):
+    decoder   µs/iteration of each decode schedule per code, at an SNR low
+              enough that no codeword converges (so cost = max_iter sweeps)
+    kmeans    µs per 20-iteration blind estimate, jax vs pallas impl
+    chain     blk/s of full chunk pipelines (the RESULTS.md throughput rows)
+
+Methodology matches bench.py: pipelined dispatch (3 launches in flight),
+adaptive warmup until two consecutive probes agree, steady-state timing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+ASSETS = os.path.join(HERE, "assets")
+
+
+def steady(fn, n1: int = 6, n2: int = 18) -> float:
+    """Steady-state seconds per call via a two-point slope.
+
+    ``fn(i)`` must dispatch device work for index ``i`` and return a 0-d jax
+    array derived from ALL of it.  The scalar contract is load-bearing on
+    this relay: ``block_until_ready`` on large remote buffers returns
+    without fencing execution (measured: 0.34 ms "decodes" that really take
+    30 ms), while reading back a scalar is a true fence costing one ~28 ms
+    RTT.  So each batch of calls is accumulated into one scalar and read
+    back once, and the (n2 - n1)-call slope cancels that fixed RTT plus any
+    residual warmup.  Inputs must be unique per call (fold a key by ``i``).
+    """
+    import numpy as np
+
+    def run(n: int, base: int) -> float:
+        t0 = time.perf_counter()
+        acc = fn(base)
+        for i in range(1, n):
+            acc = acc + fn(base + i)
+        np.asarray(acc)  # single scalar readback = execution fence
+        return time.perf_counter() - t0
+
+    prev = None
+    for probe in range(10):  # adaptive warmup: relay's slow first-exec path
+        dt = run(3, 1_000 + 3 * probe)
+        if prev is not None and probe >= 1 and dt < prev * 1.15 and prev < dt * 1.15:
+            break
+        prev = dt
+    t1 = run(n1, 2_000)
+    t2 = run(n2, 3_000)
+    return (t2 - t1) / (n2 - n1)
+
+
+def bench_decoders(results: dict, batch: int = 1024, iters: int = 20) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from kmldpc_tpu.code import load_code
+    from kmldpc_tpu.decoder.bp import DecoderTables, flooding_decode
+    from kmldpc_tpu.decoder.minsum import layered_minsum_decode, minsum_tables
+
+    base_key = jax.random.key(7)
+    for name, fname in [
+        ("PEG2304", "PEG2304regular0.5.txt"),
+        ("5G-BG2-K960", "5GLDPCBG2a3_R12_K960.txt"),
+        ("PEG8064", "PEG8064regular0.5.txt"),
+    ]:
+        code = load_code(os.path.join(ASSETS, fname))
+        dt = DecoderTables.from_code(code)
+        mt = minsum_tables(code)
+        tx_len = code.num_col - code.punct
+
+        # Noise is generated ON DEVICE from a per-call index (unique inputs
+        # per dispatch); LLR scale 0.3 is too weak to ever converge, so cost
+        # = `iters` full sweeps.  Returns (scalar, full result): the scalar
+        # satisfies steady()'s fence contract, the full result keeps the
+        # while-loop outputs live (scalar-reduced loop outputs SIGSEGV the
+        # AOT compile helper — same keep-alive as ChunkResult.raw).
+        def llr_of(i):
+            key = jax.random.fold_in(base_key, i)
+            return 0.3 * jax.random.normal(key, (batch, tx_len), dtype="float32")
+
+        flood = jax.jit(
+            lambda t, i: (lambda r: (r.iters.sum(), r))(
+                flooding_decode(t, llr_of(i), iters)
+            )
+        )
+        ms = jax.jit(
+            lambda t, i: (lambda r: (r.iters.sum(), r))(
+                layered_minsum_decode(t, llr_of(i), iters, 0.75)
+            )
+        )
+        rows = [("flooding", flood, dt), (f"minsum[{'qc' if mt.qc else 'generic'}]", ms, mt)]
+        if mt.qc is not None:
+            mt_gen = minsum_tables(code, layer_size=code.lifting_factor)
+            mt_gen = type(mt_gen)(
+                base=mt_gen.base, l_edge_idx=mt_gen.l_edge_idx,
+                l_edge_col=mt_gen.l_edge_col, l_mask=mt_gen.l_mask, qc=None,
+            )
+            rows.append(("minsum[generic]", ms, mt_gen))
+
+        for label, fn, tabs in rows:
+            sec = steady(lambda i: fn(tabs, jnp.int32(i))[0])
+            us_per_iter = sec / iters * 1e6
+            key = f"decoder/{name}/{label}"
+            results[key] = {"us_per_iter": round(us_per_iter, 1),
+                            "batch": batch, "iters": iters}
+            print(f"{key}: {us_per_iter:.0f} us/iter "
+                  f"({sec*1e3:.2f} ms / {iters} iters, B={batch})", file=sys.stderr)
+
+
+def bench_kmeans(results: dict, batch: int = 1024, nsym: int = 1152) -> None:
+    import jax
+
+    from kmldpc_tpu.detect.kmeans import make_blind_estimator
+    from kmldpc_tpu.io import parse_constellation
+    from kmldpc_tpu.ops.modem import ModemTables
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    for cname, fname, n in [
+        ("QPSK", "2bits_QPSK.txt", nsym),
+        ("16QAM", "4bit_16QAM_Gray.txt", nsym // 2),
+        ("64QAM", "6bits_64QAM_Gray.txt", nsym // 3),
+    ]:
+        tables = ModemTables.from_constellation(
+            parse_constellation(os.path.join(ASSETS, fname))
+        )
+        base_key = jax.random.key(3)
+
+        def y_of(i):  # unique on-device inputs per dispatch (see decoder note)
+            y = jax.random.normal(
+                jax.random.fold_in(base_key, i), (2, batch, n), dtype="float32"
+            )
+            return y[0], y[1]
+
+        impls = {"jax": make_blind_estimator(tables, 20, "max")}
+        if on_tpu:
+            try:
+                from kmldpc_tpu.detect.kmeans_pallas import (
+                    make_blind_estimator_pallas,
+                )
+
+                impls["pallas"] = make_blind_estimator_pallas(tables, 20, "max")
+            except Exception as e:  # kernel unsupported for this M
+                print(f"kmeans/{cname}/pallas: unavailable ({e})", file=sys.stderr)
+        for impl, est in impls.items():
+            # (scalar, full outputs) — see decoder note on the fence contract
+            jest = jax.jit(
+                lambda i, _est=est: (lambda hr, hi: (hr.sum() + hi.sum(), (hr, hi)))(
+                    *_est(*y_of(i))
+                )
+            )
+            try:
+                import jax.numpy as jnp
+
+                sec = steady(lambda i: jest(jnp.int32(i))[0])
+            except Exception as e:
+                print(f"kmeans/{cname}/{impl}: FAILED ({type(e).__name__})",
+                      file=sys.stderr)
+                continue
+            key = f"kmeans/{cname}/{impl}"
+            results[key] = {"us_per_call": round(sec * 1e6, 1),
+                            "batch": batch, "nsym": n}
+            print(f"{key}: {sec*1e6:.0f} us/call (B={batch}, {n} sym)",
+                  file=sys.stderr)
+
+
+CHAIN_ROWS = [
+    # (label, code, const, known_h, schedule, metric_type, snr, batch, cpl)
+    ("PEG2304+QPSK/blind", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
+     False, "flooding", False, 15.0, 1024, 16),
+    ("PEG2304+QPSK/known", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
+     True, "flooding", False, 15.0, 1024, 16),
+    ("5G+16QAM/known/flooding", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
+     True, "flooding", False, 18.0, 1024, 4),
+    ("5G+16QAM/known/minsum", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
+     True, "layered-minsum", False, 18.0, 1024, 4),
+    ("5G+16QAM/blind/hard", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
+     False, "flooding", False, 18.0, 1024, 4),
+    ("PEG8064+64QAM/known", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
+     True, "flooding", False, 18.0, 256, 4),
+    ("PEG8064+64QAM/blind", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
+     False, "flooding", False, 18.0, 256, 4),
+]
+
+
+def bench_chain(results: dict, only: str | None = None) -> None:
+    import jax
+    import numpy as np
+
+    from kmldpc_tpu.code import load_code
+    from kmldpc_tpu.io import parse_constellation
+    from kmldpc_tpu.sim.chain import ChainSpec, make_chunk_runner
+
+    key = jax.random.key(0)
+    for (label, cfile, mfile, known, sched, mtype, snr, batch, cpl) in CHAIN_ROWS:
+        if only and only not in label:
+            continue
+        code = load_code(os.path.join(ASSETS, cfile))
+        const = parse_constellation(os.path.join(ASSETS, mfile))
+        spec = ChainSpec(
+            code=code, constellation=const, known_h=known, fading=True,
+            metric_type=mtype, metric_iter=5, max_iter=50,
+            encoder_active=True, histogram=False, schedule=sched,
+        )
+        runner = make_chunk_runner(spec, batch, cpl)
+        var = np.float32(10.0 ** (-0.1 * snr))
+        # err_blk is a scalar ChunkResult field — satisfies the fence contract
+        sec = steady(lambda i: runner(jax.random.fold_in(key, i), var).err_blk)
+        blk_s = batch * cpl / sec
+        results[f"chain/{label}"] = {
+            "blocks_per_s": round(blk_s, 1),
+            "info_bits_per_s": round(blk_s * code.code_dim, 1),
+            "batch": batch, "chunks_per_launch": cpl, "snr_db": snr,
+        }
+        print(f"chain/{label}: {blk_s:,.0f} blk/s "
+              f"({sec/cpl*1e3:.2f} ms/chunk, B={batch} cpl={cpl})", file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("groups", nargs="*", default=[],
+                    help="decoder kmeans chain (default all); or chain:<substr>")
+    ap.add_argument("--json", default=None, help="write results JSON here")
+    args = ap.parse_args()
+    groups = args.groups or ["decoder", "kmeans", "chain"]
+
+    import jax
+
+    print(f"microbench: device={jax.devices()[0]}", file=sys.stderr)
+    results: dict = {"device": str(jax.devices()[0])}
+    for g in groups:
+        if g == "decoder":
+            bench_decoders(results)
+        elif g == "kmeans":
+            bench_kmeans(results)
+        elif g == "chain":
+            bench_chain(results)
+        elif g.startswith("chain:"):
+            bench_chain(results, only=g.split(":", 1)[1])
+        else:
+            raise SystemExit(f"unknown group {g!r}")
+    out = json.dumps(results, indent=1)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(out + "\n")
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
