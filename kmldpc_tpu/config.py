@@ -27,8 +27,8 @@ class RangeConfig:
     maximum_error_number: int = 1
     maximum_block_number: int = 1
     # In the reference this is the per-task chunk size of the inner thread
-    # pool (simulator.cc:90-100).  Here it is only used as a default for the
-    # device batch size when [tpu].batch is not given.
+    # pool (simulator.cc:90-100).  Here it is the default for the device
+    # batch size when [tpu].batch is not given (see TpuConfig.batch).
     thread_block_number: int = 1
 
 
@@ -78,7 +78,10 @@ class TpuConfig:
     """TPU-framework-only knobs (no reference analogue)."""
 
     # Monte-Carlo chunk size per device launch (codewords per chunk).
-    batch: int = 1024
+    # 0 = auto: use [range].thread_block_number when it is meaningfully set
+    # (> 1 — the reference's per-task chunk size plays the same role,
+    # simulator.cc:90-100), else 1024.
+    batch: int = 0
     # Compute dtype for the BP decoder / demapper ("float32" | "bfloat16").
     dtype: str = "float32"
     # Decoder schedule: "flooding" (reference parity) | "layered-minsum".
@@ -104,6 +107,12 @@ class TpuConfig:
     checkpoint_path: str = ""
     # Seed for jax.random; the reference time-seeds (kmldpc.cpp:22-26).
     seed: int = 0
+    # Debug: directory for per-block k-means .mat/.npz dumps in blind mode
+    # (KMeans::DumpToMat parity, kmeans.cc:96-111; "" disables).  The first
+    # kmeans_dump_blocks blocks of the first launch per SNR point are
+    # written.
+    kmeans_dump_dir: str = ""
+    kmeans_dump_blocks: int = 8
     # jax.profiler trace output directory ("" disables). The reference has
     # wall-clock timing only (kmldpc.cpp:11-12); this captures full XLA
     # traces viewable in TensorBoard/Perfetto.

@@ -116,6 +116,10 @@ def _qc_layers(code: LDPCCode) -> tuple | None:
             return None
         k = int(key_s[a])
         per_layer[k // nbc].append((k % nbc, int(s[0])))
+    if any(not l for l in per_layer):
+        # a block-row with no circulants would make _decode_qc stack an
+        # empty list at trace time; such a degenerate layering is not QC
+        return None
     return ((int(z), int(nbc)), *[tuple(l) for l in per_layer])
 
 
@@ -136,18 +140,34 @@ class MinsumTables:
     qc: tuple | None = dataclasses.field(default=None, metadata=dict(static=True))
 
 
-def minsum_tables(code: LDPCCode, layer_size: int | None = None) -> MinsumTables:
+def minsum_tables(
+    code: LDPCCode, layer_size: int | None = None, use_qc: bool = True
+) -> MinsumTables:
     """``layer_size`` defaults to the lifting factor Z for 5G codes
     (conflict-free block-row layers) and to ``num_row`` (pure flooding
     min-sum) for unstructured codes.  When the decode graph is quasi-
     cyclic at the default layer size, the QC metadata enables the
-    roll-based fast path."""
+    roll-based fast path; pass ``use_qc=False`` to force the generic
+    gather/scatter path at the same layering (tests and benchmarks compare
+    the two — no need to rebuild the frozen dataclass by hand).
+
+    When the QC path is taken the edge-set-sized generic layer tables are
+    replaced by zero-size placeholders — they would otherwise ride along
+    in the pytree, wasting device memory on every instance."""
     qc = None
-    if layer_size is None or (code.lifting_factor and layer_size == code.lifting_factor):
+    if use_qc and (
+        layer_size is None or (code.lifting_factor and layer_size == code.lifting_factor)
+    ):
         qc = _qc_layers(code)
     if layer_size is None:
         layer_size = code.lifting_factor if code.is_5g else code.num_row
-    l_edge_idx, l_edge_col, l_mask = _layer_tables(code, layer_size)
+    if qc is not None:
+        empty = (0, 0, 0)
+        l_edge_idx = jnp.zeros(empty, jnp.int32)
+        l_edge_col = jnp.zeros(empty, jnp.int32)
+        l_mask = jnp.zeros(empty, jnp.float32)
+    else:
+        l_edge_idx, l_edge_col, l_mask = _layer_tables(code, layer_size)
     return MinsumTables(
         base=DecoderTables.from_code(code),
         l_edge_idx=l_edge_idx, l_edge_col=l_edge_col, l_mask=l_mask,
@@ -241,6 +261,12 @@ def _decode_qc(
         iters = iters + (~conv).astype(jnp.int32)
         conv_after = conv | ok
         ss = jnp.where(conv_after[None, :], ss, ss_new)
+        # Intentional divergence from _decode_generic: post/c2v are NOT
+        # frozen for converged codewords here.  Every exposed output
+        # (cc_hat, iters, ss) is frozen above, so results are identical;
+        # skipping the freeze saves two large selects per sweep on the hot
+        # path.  If final posteriors are ever added to DecodeResult, add
+        # the jnp.where(conv_after, ...) freeze here first.
         return i + 1, post, c2v, cc_hat, conv_after, iters, ss
 
     state = (
@@ -334,6 +360,9 @@ def _decode_generic(
         ok = syndrome_ok(cc_hat)
         iters = iters + (~conv).astype(jnp.int32)
         conv_after = conv | ok
+        # post/c2v freeze: the QC path intentionally skips this (see note
+        # there) — outputs are identical because cc_hat/iters/ss above are
+        # frozen either way.
         post = jnp.where(conv_after[None, :], post, post_new)
         c2v = jnp.where(conv_after[None, :], c2v, c2v_new)
         ss = jnp.where(conv_after[None, :], ss, ss_new)

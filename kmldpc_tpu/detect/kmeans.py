@@ -115,3 +115,32 @@ def make_blind_estimator(
         return h4_r, h4_i
 
     return estimate
+
+
+def add_diagnostics(estimate, tables: ModemTables):
+    """Wrap any blind estimator with the reference's inspection surface.
+
+    ``KMeans`` exposes ``clusters`` and ``idx`` after ``Run`` (kmeans.h:19-21)
+    for ``DumpToMat`` (kmeans.cc:96-111).  Because the clusters are always
+    re-projected to the constellation scaled by the single gain — the final
+    state is ``cluster_k = s_k * hhat`` followed by one assignment pass
+    (kmeans.cc:76-83) — both are pure functions of the final hhat, so this
+    wrapper recovers them from candidate 0 without touching the estimator
+    loop (works over the pure-JAX and Pallas implementations alike).
+
+    Returns ``estimate_diag(yr, yi) -> (h4_r, h4_i, cl_r, cl_i, idx)`` with
+    ``cl_*``: [B, M] final clusters and ``idx``: [B, Nsym] int32 assignments.
+    """
+    sr, si = tables.points_re, tables.points_im
+
+    def estimate_diag(yr: jnp.ndarray, yi: jnp.ndarray):
+        h4_r, h4_i = estimate(yr, yi)
+        h_r, h_i = h4_r[:, 0], h4_i[:, 0]  # candidate 0 = the k-means hhat
+        cl_r = h_r[:, None] * sr[None, :] - h_i[:, None] * si[None, :]
+        cl_i = h_r[:, None] * si[None, :] + h_i[:, None] * sr[None, :]
+        dre = yr[:, :, None] - cl_r[:, None, :]
+        dim = yi[:, :, None] - cl_i[:, None, :]
+        idx = jnp.argmin(dre * dre + dim * dim, axis=-1).astype(jnp.int32)
+        return h4_r, h4_i, cl_r, cl_i, idx
+
+    return estimate_diag

@@ -73,8 +73,13 @@ def make_sharded_chunk_runner(
             err_blk=jnp.sum(rs.err_blk),
             tot_bit=jnp.sum(rs.tot_bit),
             tot_blk=jnp.sum(rs.tot_blk),
+            err_bit_sq=jnp.sum(rs.err_bit_sq),
             metrics=rs.metrics.reshape(n * local_batch, -1),
             iters=jnp.mean(rs.iters),
+            kmeans_diag=jax.tree.map(
+                lambda a: a.reshape((n * local_batch,) + a.shape[2:]),
+                rs.kmeans_diag,
+            ),
             raw=rs.raw,
         )
 
@@ -85,8 +90,10 @@ def make_sharded_chunk_runner(
             err_blk=jax.lax.psum(res.err_blk, "data"),
             tot_bit=jax.lax.psum(res.tot_bit, "data"),
             tot_blk=jax.lax.psum(res.tot_blk, "data"),
+            err_bit_sq=jax.lax.psum(res.err_bit_sq, "data"),
             metrics=res.metrics,
             iters=jax.lax.pmean(res.iters, "data"),
+            kmeans_diag=res.kmeans_diag,
             raw=res.raw,
         )
 
@@ -96,7 +103,8 @@ def make_sharded_chunk_runner(
         in_specs=(P(), P("data"), P()),
         out_specs=ChunkResult(
             err_bit=P(), err_blk=P(), tot_bit=P(), tot_blk=P(),
-            metrics=P("data"), iters=P(), raw=P("data"),
+            err_bit_sq=P(), metrics=P("data"), iters=P(),
+            kmeans_diag=P("data"), raw=P("data"),
         ),
         # The decoder's while_loop initializes its carries with unvarying
         # zeros that meet data-sharded values at the first iteration; the

@@ -57,8 +57,18 @@ class ChunkResult(NamedTuple):
     err_blk: jnp.ndarray  # scalar int32
     tot_bit: jnp.ndarray  # scalar int32
     tot_blk: jnp.ndarray  # scalar int32
+    # Sum over blocks of (per-block bit-error count)^2 — the empirical
+    # second moment behind the clustered-BER z-test (tools/parity.py).
+    # f32: the per-chunk value fits exactly up to ~16.7M and the host
+    # accumulates across chunks in Python floats; statistical use only.
+    err_bit_sq: jnp.ndarray  # scalar f32
     metrics: jnp.ndarray  # [B, 4] f32 — |metric| table (histogram mode); zeros if known-h
     iters: jnp.ndarray  # scalar f32 — mean BP iterations executed
+    # k-means inspection surface (KMeans::{clusters,idx}, kmeans.h:19-21):
+    # (yr, yi, cl_r, cl_i, idx, h4_r, h4_i, hr_true, hi_true) when
+    # ChainSpec.kmeans_dump is set in blind mode, else ().  The Monte-Carlo
+    # driver feeds it to utils.records.dump_kmeans (DumpToMat parity).
+    kmeans_diag: tuple = ()
     # Keep-alive: the final DecodeResult (or () in histogram mode).  The
     # TPU AOT compile helper of the current libtpu build SIGSEGVs when the
     # decoder's while-loop carries are dead-code-eliminated down to scalar
@@ -102,6 +112,10 @@ class ChainSpec:
     # the cost changes with the operating FER.
     phase1_iters: int = 6
     tile: int = 0
+    # Debug: surface the k-means diagnostics (final clusters + per-symbol
+    # assignments) in ChunkResult.kmeans_diag for .mat export
+    # (kmeans.cc:96-111).  Blind mode only.
+    kmeans_dump: bool = False
 
     @staticmethod
     def from_config(cfg: Config, code: LDPCCode, constellation: Constellation) -> "ChainSpec":
@@ -120,6 +134,7 @@ class ChainSpec:
             dtype=cfg.tpu.dtype,
             phase1_iters=cfg.tpu.phase1_iters,
             tile=cfg.tpu.tile,
+            kmeans_dump=bool(cfg.tpu.kmeans_dump_dir) and not cfg.decoder.true_h_arg,
         )
 
 
@@ -171,6 +186,10 @@ def build_chain_fn(
         )
     else:
         estimate = make_blind_estimator(tables, spec.kmeans_iters, spec.kmeans_anchor)
+    if spec.kmeans_dump:
+        from ..detect.kmeans import add_diagnostics
+
+        estimate = add_diagnostics(estimate, tables)
     select = make_ambiguity_selector(code, tables, spec.metric_type, spec.metric_iter)
 
     def run_chunk(params: ChainParams, key: jax.Array, var: jnp.ndarray) -> ChunkResult:
@@ -201,6 +220,13 @@ def build_chain_fn(
                 )
             else:
                 metrics = jnp.zeros((batch, 4), jnp.float32)
+        kmeans_diag = ()
+        if spec.known_h:
+            pass
+        elif spec.kmeans_dump:
+            h4_r, h4_i, cl_r, cl_i, km_idx = estimate(yr, yi)
+            hr, hi, metrics, chan_llr = select(params.dec, yr, yi, h4_r, h4_i, var)
+            kmeans_diag = (yr, yi, cl_r, cl_i, km_idx, h4_r, h4_i, hr_true, hi_true)
         else:
             h4_r, h4_i = estimate(yr, yi)
             hr, hi, metrics, chan_llr = select(params.dec, yr, yi, h4_r, h4_i, var)
@@ -239,13 +265,16 @@ def build_chain_fn(
             raw = tuple(res)
 
         errs = jnp.sum((uu != uu_hat).astype(jnp.int32), axis=1)  # [B]
+        errs_f = errs.astype(jnp.float32)
         return ChunkResult(
             err_bit=jnp.sum(errs),
             err_blk=jnp.sum((errs > 0).astype(jnp.int32)),
             tot_bit=jnp.int32(batch * code.code_dim),
             tot_blk=jnp.int32(batch),
+            err_bit_sq=jnp.sum(errs_f * errs_f),
             metrics=metrics,
             iters=mean_iters,
+            kmeans_diag=kmeans_diag,
             raw=raw,
         )
 
@@ -286,8 +315,13 @@ def make_chunk_runner(
                 err_blk=jnp.sum(rs.err_blk),
                 tot_bit=jnp.sum(rs.tot_bit),
                 tot_blk=jnp.sum(rs.tot_blk),
+                err_bit_sq=jnp.sum(rs.err_bit_sq),
                 metrics=rs.metrics.reshape(n * batch, -1),
                 iters=jnp.mean(rs.iters),
+                kmeans_diag=jax.tree.map(
+                    lambda a: a.reshape((n * batch,) + a.shape[2:]),
+                    rs.kmeans_diag,
+                ),
                 raw=rs.raw,
             )
 

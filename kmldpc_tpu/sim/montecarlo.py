@@ -17,8 +17,12 @@ driver loop around one jitted chunk program:
   launch-granular instead of block-granular).
 * BER = err_bit/tot_bit and FER = err_blk/tot_blk over all counted blocks
   (sourcesink.cc:39-46); telemetry lines use the reference's format.
-* Counters are periodically checkpointed to JSON so an interrupted sweep
-  resumes (the reference has no checkpointing — SURVEY.md section 5.4).
+* Counters are checkpointed to JSON after every consumed launch (and the
+  point marked done when it completes), so an interrupted sweep resumes
+  mid-SNR-point losing at most the one in-flight launch.  Because chunk
+  keys are derived from the consumed-launch counter, a resumed sweep
+  replays the exact key sequence and lands on bit-identical final
+  counters (the reference has no checkpointing — SURVEY.md section 5.4).
 """
 
 from __future__ import annotations
@@ -49,6 +53,9 @@ class SnrResult:
     tot_bit: int
     wall_s: float
     blocks_per_s: float
+    # empirical second moment of per-block bit-error counts (parity.py's
+    # clustered-BER z-test); float — see ChunkResult.err_bit_sq
+    err_bit_sq: float = 0.0
 
 
 @dataclasses.dataclass
@@ -58,6 +65,7 @@ class _Counters:
     err_bit: int = 0
     tot_bit: int = 0
     chunks: int = 0
+    err_bit_sq: float = 0.0
 
     @property
     def ber(self) -> float:
@@ -83,8 +91,18 @@ class Simulator:
         self.constellation = parse_constellation(cfg.modem_path())
         self.spec = ChainSpec.from_config(cfg, self.code, self.constellation)
         # Shape the chunk to the request: a smoke config asking for 1 block
-        # must not pay for a 1024-codeword chunk.
-        self.batch = max(1, min(cfg.tpu.batch, cfg.range.maximum_block_number))
+        # must not pay for a 1024-codeword chunk.  [tpu].batch = 0 (the
+        # default) falls back to [range].thread_block_number — the
+        # reference's per-task chunk size (simulator.cc:90-100) — when that
+        # is set above its smoke-test default of 1, else to 1024.
+        batch = cfg.tpu.batch
+        if batch <= 0:
+            batch = (
+                cfg.range.thread_block_number
+                if cfg.range.thread_block_number > 1
+                else 1024
+            )
+        self.batch = max(1, min(batch, cfg.range.maximum_block_number))
         # fold several sub-chunks into one launch, but never ask for more
         # blocks per launch than the whole sweep point needs
         cpl = max(1, min(cfg.tpu.chunks_per_launch,
@@ -147,7 +165,11 @@ class Simulator:
 
     # -- main loop ----------------------------------------------------------
     def run_snr_point(
-        self, snr: float, counters: _Counters | None = None, histogram_file=None
+        self,
+        snr: float,
+        counters: _Counters | None = None,
+        histogram_file=None,
+        save_partial=None,
     ) -> SnrResult:
         cfg = self.cfg
         var = 10.0 ** (-0.1 * snr)  # simulator.cc:74 — no rate normalization
@@ -158,6 +180,7 @@ class Simulator:
         # fold_in rejects negative data; mask to uint32 (negative SNRs).
         key = jax.random.fold_in(self.root_key, int(round(snr * 1000)) & 0xFFFFFFFF)
         last_print = c.tot_blk
+        km_dump_pending = bool(cfg.tpu.kmeans_dump_dir) and self.spec.kmeans_dump
 
         # Double-buffered dispatch: launch chunk k before reading chunk
         # k-1's counters, so the device round-trip latency (substantial when
@@ -165,11 +188,16 @@ class Simulator:
         # compute.  The stop condition therefore lags one chunk — the same
         # chunk-granular overrun already documented above.
         def consume(res: ChunkResult) -> None:
-            nonlocal last_print
+            nonlocal last_print, km_dump_pending
+            if km_dump_pending and res.kmeans_diag:
+                self._dump_kmeans(snr, res)
+                km_dump_pending = False  # first launch of the point only
+            c.chunks += 1  # consumed launches — the checkpoint/resume cursor
             c.err_bit += int(res.err_bit)
             c.err_blk += int(res.err_blk)
             c.tot_bit += int(res.tot_bit)
             c.tot_blk += int(res.tot_blk)
+            c.err_bit_sq += float(res.err_bit_sq)
             if histogram_file is not None:
                 self._write_histogram(histogram_file, np.asarray(res.metrics))
             # per-chunk chatter goes to the log file only, like the
@@ -182,18 +210,26 @@ class Simulator:
             if c.tot_blk - last_print >= 100 or c.tot_blk >= max_blk or c.err_blk >= max_err:
                 self._print_result(snr, c)
                 last_print = c.tot_blk
+            if save_partial is not None:
+                save_partial(c)
 
         # count the not-yet-consumed in-flight launch toward the block cap,
-        # so a fixed-block sweep does not over-launch a whole extra chunk
+        # so a fixed-block sweep does not over-launch a whole extra chunk.
+        # `launched` leads `c.chunks` (consumed) by the in-flight launch;
+        # chunk keys fold in the launch index, so a resume from a mid-point
+        # checkpoint (c.chunks consumed launches) re-issues the lost
+        # in-flight launch under its original key — bit-identical to an
+        # uninterrupted sweep.
         per_launch = getattr(self.runner, "blocks_per_launch", self.batch)
+        launched = c.chunks
         pending: ChunkResult | None = None
         while (
             c.tot_blk + (per_launch if pending is not None else 0) < max_blk
             and c.err_blk < max_err
         ):
-            chunk_key = jax.random.fold_in(key, c.chunks)
+            chunk_key = jax.random.fold_in(key, launched)
             res: ChunkResult = self.runner(chunk_key, np.float32(var))
-            c.chunks += 1
+            launched += 1
             if pending is not None:
                 consume(pending)
             pending = res
@@ -205,6 +241,35 @@ class Simulator:
             snr=snr, ber=c.ber, fer=c.fer, tot_blk=c.tot_blk, err_blk=c.err_blk,
             err_bit=c.err_bit, tot_bit=c.tot_bit, wall_s=wall,
             blocks_per_s=c.tot_blk / wall if wall > 0 else 0.0,
+            err_bit_sq=c.err_bit_sq,
+        )
+
+    def _dump_kmeans(self, snr: float, res: ChunkResult) -> None:
+        """Write per-block k-means diagnostics (KMeans::DumpToMat parity,
+        kmeans.cc:96-111): received symbols, final clusters, per-symbol
+        assignments, constellation, the 4 hhat candidates, and the true h,
+        under the reference's variable names (records.dump_kmeans)."""
+        from ..utils.records import dump_kmeans
+
+        d = self.cfg.tpu.kmeans_dump_dir
+        os.makedirs(d, exist_ok=True)
+        yr, yi, cl_r, cl_i, idx, h4_r, h4_i, hr_t, hi_t = (
+            np.asarray(a) for a in res.kmeans_diag
+        )
+        const = self.constellation.points
+        nb = min(self.cfg.tpu.kmeans_dump_blocks, yr.shape[0])
+        for j in range(nb):
+            dump_kmeans(
+                os.path.join(d, f"kmeans_snr{snr:.3f}_blk{j}"),
+                yr[j] + 1j * yi[j],
+                cl_r[j] + 1j * cl_i[j],
+                idx[j],
+                const,
+                h4_r[j] + 1j * h4_i[j],
+                complex(hr_t[j], hi_t[j]),
+            )
+        self.log.info(
+            f"k-means diagnostics: wrote {nb} blocks to {d}", to_stdout=False
         )
 
     def _print_result(self, snr: float, c: _Counters) -> None:
@@ -245,22 +310,44 @@ class Simulator:
             saved = state["snr"].get(snr_key)
             if saved and saved.get("done"):
                 c = _Counters(**{k: saved[k] for k in
-                                 ("tot_blk", "err_blk", "err_bit", "tot_bit", "chunks")})
+                                 ("tot_blk", "err_blk", "err_bit", "tot_bit", "chunks")},
+                              err_bit_sq=saved.get("err_bit_sq", 0.0))
                 self.log.info(f"SNR {snr_key}: restored from checkpoint")
                 results.append(SnrResult(
                     snr=snr, ber=c.ber, fer=c.fer, tot_blk=c.tot_blk,
                     err_blk=c.err_blk, err_bit=c.err_bit, tot_bit=c.tot_bit,
-                    wall_s=0.0, blocks_per_s=0.0,
+                    wall_s=0.0, blocks_per_s=0.0, err_bit_sq=c.err_bit_sq,
                 ))
                 continue
             c = _Counters(**{k: saved[k] for k in
-                             ("tot_blk", "err_blk", "err_bit", "tot_bit", "chunks")}) \
+                             ("tot_blk", "err_blk", "err_bit", "tot_bit", "chunks")},
+                          err_bit_sq=saved.get("err_bit_sq", 0.0)) \
                 if saved else _Counters()
+            if saved:
+                self.log.info(
+                    f"SNR {snr_key}: resuming mid-point from checkpoint "
+                    f"({c.tot_blk} blocks done)"
+                )
+
+            def save_partial(cc, _snr_key=snr_key):
+                # mid-point checkpoint: one consumed launch at most is lost
+                # on interruption (the in-flight one); chunk keys fold in
+                # cc.chunks so the resumed sequence is bit-identical
+                state["snr"][_snr_key] = dict(
+                    tot_blk=cc.tot_blk, err_blk=cc.err_blk, err_bit=cc.err_bit,
+                    tot_bit=cc.tot_bit, chunks=cc.chunks, done=False,
+                    err_bit_sq=cc.err_bit_sq,
+                )
+                self._save_ckpt(state)
+
             hist_f = None
             if cfg.histogram.enable:
                 hist_f = open(f"histogram_{snr:.6f}.txt", "w")
             try:
-                r = self.run_snr_point(snr, c, hist_f)
+                r = self.run_snr_point(
+                    snr, c, hist_f,
+                    save_partial=save_partial if self._ckpt_path() else None,
+                )
             finally:
                 if hist_f is not None:
                     hist_f.close()
@@ -268,6 +355,7 @@ class Simulator:
             state["snr"][snr_key] = dict(
                 tot_blk=c.tot_blk, err_blk=c.err_blk, err_bit=c.err_bit,
                 tot_bit=c.tot_bit, chunks=c.chunks, done=True,
+                err_bit_sq=c.err_bit_sq,
             )
             self._save_ckpt(state)
         # final tables (simulator.cc:43-66)

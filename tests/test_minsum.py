@@ -93,13 +93,11 @@ def test_qc_fast_path_matches_generic(code5g):
     """QC roll-based path is bit-identical to the generic gather/scatter
     path (same layers, same per-edge arithmetic — see layered_minsum_decode
     docstring)."""
-    import dataclasses
-
     from kmldpc_tpu.decoder.minsum import layered_minsum_decode, minsum_tables
 
     mt = minsum_tables(code5g)
     assert mt.qc is not None, "5G BG2 decode graph should be detected as QC"
-    mt_gen = dataclasses.replace(mt, qc=None)
+    mt_gen = minsum_tables(code5g, layer_size=code5g.lifting_factor, use_qc=False)
     rng = np.random.default_rng(7)
     b = 32
     uu = rng.integers(0, 2, size=(b, code5g.code_dim)).astype(np.uint8)

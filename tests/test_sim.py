@@ -125,6 +125,84 @@ def test_checkpoint_resume(assets, tmp_path):
     assert all(r.wall_s == 0.0 for r in results2)
 
 
+def test_checkpoint_mid_point_resume(assets, tmp_path):
+    """Kill mid SNR point -> resume loses at most one launch and lands on
+    counters bit-identical to an uninterrupted sweep (VERDICT r2 item 4)."""
+    from kmldpc_tpu.sim.chain import make_chunk_runner as _mcr
+
+    def make_cfg(ck):
+        return _cfg(
+            assets,
+            range=dict(maximum_block_number=100, maximum_error_number=10**9,
+                       minimum_snr=2.0, maximum_snr=2.0),
+            decoder=dict(true_h_arg=True),
+            # data_parallel=1: the killing factory below is unsharded; the
+            # resumed/control runs must use the same (unsharded) runner or
+            # per-device key splitting changes the noise realizations
+            tpu=dict(batch=8, chunks_per_launch=1, checkpoint_path=ck,
+                     data_parallel=1),
+        )
+
+    class Boom(RuntimeError):
+        pass
+
+    def killing_factory(spec, batch, kill_at=5, calls={"n": 0}):
+        real = _mcr(spec, batch, 1)
+
+        def run(key, var):
+            if calls["n"] == kill_at:
+                raise Boom()
+            calls["n"] += 1
+            return real(key, var)
+
+        run.blocks_per_launch = batch
+        return run
+
+    ck = str(tmp_path / "ck.json")
+    sim = Simulator(make_cfg(ck), SimLogger(log_dir=None, stdout=False),
+                    runner_factory=killing_factory)
+    with pytest.raises(Boom):
+        sim.simulate()
+    part = json.load(open(ck))["snr"]["2.000"]
+    assert not part.get("done")
+    # 5 launches issued, double-buffered consumption lags one: >= 4 consumed
+    assert part["chunks"] >= 4
+    assert part["tot_blk"] == part["chunks"] * 8
+
+    # resume with the normal runner
+    sim2 = Simulator(make_cfg(ck), SimLogger(log_dir=None, stdout=False))
+    resumed = sim2.simulate()
+
+    # uninterrupted control run (separate checkpoint file)
+    sim3 = Simulator(make_cfg(str(tmp_path / "ck2.json")),
+                     SimLogger(log_dir=None, stdout=False))
+    control = sim3.simulate()
+    r, c = resumed[0], control[0]
+    assert (r.tot_blk, r.err_blk, r.err_bit, r.tot_bit) == (
+        c.tot_blk, c.err_blk, c.err_bit, c.tot_bit
+    ), "resumed sweep must be bit-identical to an uninterrupted one"
+
+
+def test_thread_block_number_default_batch(assets):
+    """[tpu].batch = 0 (default) falls back to [range].thread_block_number
+    (the reference's per-task chunk size, simulator.cc:90-100)."""
+    cfg = _cfg(
+        assets,
+        range=dict(maximum_block_number=10**6, thread_block_number=48),
+        tpu=dict(batch=0),
+    )
+    sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+    assert sim.batch == 48
+    # smoke-test value 1 (the shipped config) -> 1024 default, capped by max_blk
+    cfg2 = _cfg(
+        assets,
+        range=dict(maximum_block_number=10**6, thread_block_number=1),
+        tpu=dict(batch=0),
+    )
+    sim2 = Simulator(cfg2, SimLogger(log_dir=None, stdout=False))
+    assert sim2.batch == 1024
+
+
 def test_histogram_mode(assets, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = _cfg(
@@ -212,6 +290,43 @@ def test_histogram_known_h_single_candidate(assets, tmp_path, monkeypatch):
     assert len(files) == 1
     rows = [line.split() for line in open(files[0]) if line.strip()]
     assert rows and all(len(r) == 1 for r in rows)
+
+
+def test_kmeans_dump_end_to_end(assets, tmp_path):
+    """[tpu].kmeans_dump_dir writes per-block DumpToMat-parity files
+    (kmeans.cc:96-111): data/cluster/idx/constellations/hHats/realH, with
+    clusters = constellation * hhat and idx consistent with nearest-cluster
+    assignment (VERDICT r2 missing #1)."""
+    d = str(tmp_path / "km")
+    cfg = _cfg(
+        assets,
+        range=dict(maximum_block_number=8, maximum_error_number=10**9),
+        decoder=dict(true_h_arg=False),
+        modem=dict(modem_file="4bit_16QAM_Gray.txt"),
+        tpu=dict(batch=8, kmeans_dump_dir=d, kmeans_dump_blocks=4,
+                 data_parallel=1),
+    )
+    sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+    sim.run_snr_point(18.0)
+    files = sorted(os.listdir(d))
+    assert len(files) == 4, files
+    data = np.load(os.path.join(d, files[0])) if files[0].endswith(".npz") else None
+    if data is None:
+        from scipy.io import loadmat
+
+        data = loadmat(os.path.join(d, files[0]))
+    y = np.asarray(data["data"]).ravel()
+    cl = np.asarray(data["cluster"]).ravel()
+    idx = np.asarray(data["idx"]).ravel().astype(int)
+    const = np.asarray(data["constellations"]).ravel()
+    h_hats = np.asarray(data["hHats"]).ravel()
+    assert y.shape[0] == sim.code.num_col // 4  # Nsym for 16QAM
+    assert cl.shape[0] == 16 and const.shape[0] == 16 and h_hats.shape[0] == 4
+    # clusters are the constellation scaled by candidate 0's hhat
+    np.testing.assert_allclose(cl, const * h_hats[0], rtol=1e-5, atol=1e-6)
+    # idx is the nearest-cluster assignment of each received symbol
+    d2 = np.abs(y[:, None] - cl[None, :]) ** 2
+    np.testing.assert_array_equal(idx, d2.argmin(axis=1))
 
 
 def test_awgn_h1_mode(assets):

@@ -52,7 +52,7 @@ def main() -> int:
         rows = [
             dict(snr=r.snr, tot_blk=r.tot_blk, err_blk=r.err_blk,
                  err_bit=r.err_bit, tot_bit=r.tot_bit, ber=r.ber, fer=r.fer,
-                 blocks_per_s=r.blocks_per_s)
+                 blocks_per_s=r.blocks_per_s, err_bit_sq=r.err_bit_sq)
             for r in results
         ]
         with open(os.path.join(out_dir, f"{name}.json"), "w") as f:

@@ -105,11 +105,7 @@ def bench_decoders(results: dict, batch: int = 1024, iters: int = 20) -> None:
         )
         rows = [("flooding", flood, dt), (f"minsum[{'qc' if mt.qc else 'generic'}]", ms, mt)]
         if mt.qc is not None:
-            mt_gen = minsum_tables(code, layer_size=code.lifting_factor)
-            mt_gen = type(mt_gen)(
-                base=mt_gen.base, l_edge_idx=mt_gen.l_edge_idx,
-                l_edge_col=mt_gen.l_edge_col, l_mask=mt_gen.l_mask, qc=None,
-            )
+            mt_gen = minsum_tables(code, layer_size=code.lifting_factor, use_qc=False)
             rows.append(("minsum[generic]", ms, mt_gen))
 
         for label, fn, tabs in rows:

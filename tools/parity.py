@@ -63,15 +63,26 @@ def compare(ref: dict[float, dict], ours: list[dict], info_bits: int) -> list[di
         z_fer = ztest(r["err_blk"], r["tot_blk"], o["err_blk"], o["tot_blk"])
         # Bit errors are clustered within blocks (a failed block flips a
         # large fraction of its bits), so an iid-bit z-test wildly
-        # overstates significance.  Treat blocks as the sampling unit: the
-        # per-block wrong-bit fraction x_i has E[x] = BER and
-        # E[x^2] <= x_max * E[x] with x_max ~ 0.6 for decode failures
-        # (conservative); se^2 = (x_max*BER - BER^2)/n_blocks.
-        x_max = 0.6
+        # overstates significance.  Treat blocks as the sampling unit with
+        # per-block wrong-bit fraction x_i (E[x] = BER).  When the sweep
+        # recorded the empirical second moment (ChunkResult.err_bit_sq =
+        # sum of per-block err-bit counts squared), use the measured
+        # variance of x — under H0 both sides share the distribution, so it
+        # serves both: se^2 = v * (1/n1 + 1/n2).  Old result files without
+        # the field fall back to the conservative bound
+        # E[x^2] <= x_max * E[x], x_max = 0.6 (decode failures flip at most
+        # ~60% of info bits in practice).
         n1, n2 = r["tot_blk"], o["tot_blk"]
         b1 = r["err_bit"] / (n1 * info_bits)
         b2 = o["err_bit"] / o["tot_bit"]
-        var = max(x_max * b1 - b1 * b1, 0.0) / n1 + max(x_max * b2 - b2 * b2, 0.0) / n2
+        if o.get("err_bit_sq"):
+            ex2 = o["err_bit_sq"] / (n2 * info_bits * info_bits)
+            v = max(ex2 - b2 * b2, 0.0)
+            var = v / n1 + v / n2
+        else:
+            x_max = 0.6
+            var = (max(x_max * b1 - b1 * b1, 0.0) / n1
+                   + max(x_max * b2 - b2 * b2, 0.0) / n2)
         z_ber = (b1 - b2) / math.sqrt(var) if var > 0 else 0.0
         rows.append(
             dict(
