@@ -47,6 +47,47 @@ _WORKER = textwrap.dedent(
 )
 
 
+_SWEEP_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, sys.argv[3])
+    os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:" + sys.argv[2]
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = sys.argv[1]
+    from kmldpc_tpu.parallel.distributed import maybe_initialize
+    assert maybe_initialize(), "expected multi-process"
+    import jax
+    assert jax.process_count() == 2 and len(jax.devices()) == 4
+    root = sys.argv[3]
+    from kmldpc_tpu.config import config_from_dict
+    from kmldpc_tpu.sim import Simulator
+    from kmldpc_tpu.utils.logging import SimLogger
+    # Full sweep that STOPS ON THE ERROR CAP at every point (low SNR,
+    # Rayleigh fading: most blocks fail).  distributed.py's contract is
+    # that the psum'd counters are replicated, so both processes take the
+    # same stop decision each launch; a divergent decision would leave one
+    # process waiting in a collective forever (deadlock -> test timeout).
+    cfg = config_from_dict(dict(
+        range=dict(minimum_snr=-2.0, maximum_snr=0.0, step_snr=2.0,
+                   maximum_error_number=12, maximum_block_number=10**6),
+        decoder=dict(true_h_arg=True),
+        ldpc=dict(max_iter=20, active=True,
+                  matrix_file="PEG2304regular0.5.txt"),
+        modem=dict(modem_file="2bits_QPSK.txt"),
+        tpu=dict(batch=16, chunks_per_launch=1),
+    ), asset_dir=os.path.join(root, "assets"))
+    sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+    results = sim.simulate()
+    assert all(r.err_blk >= 12 for r in results), "error cap should trigger"
+    print("SWEEP " + ";".join(
+        f"{r.snr:.3f},{r.tot_blk},{r.err_blk},{r.err_bit}" for r in results
+    ), flush=True)
+    """
+)
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -82,3 +123,33 @@ def test_two_process_distributed_counters(tmp_path):
     assert int(tot_blk) == 16
     assert int(tot_bit) == 16 * 1152
     assert int(err_blk) <= 1
+
+
+def test_two_process_sweep_error_cap_stop(tmp_path):
+    """Full 2-process sweep through the Simulator hitting the error-cap
+    stopping rule at every SNR point: both processes must take identical
+    lockstep stop decisions (a divergence deadlocks the collective and
+    times this test out) and report identical final counters
+    (simulator.cc:117 semantics; VERDICT r2 weak #5)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "sweep_worker.py"
+    worker.write_text(_SWEEP_WORKER)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if "axon" not in v.lower()}
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), port, root],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    sweeps = {line for o in outs for line in o.splitlines() if line.startswith("SWEEP")}
+    assert len(sweeps) == 1, sweeps  # identical counters in both processes
+    points = sweeps.pop().split(" ", 1)[1].split(";")
+    assert len(points) == 2  # -2 and 0 dB
