@@ -1,16 +1,22 @@
-"""Benchmark: decoded info bits/s/chip at PEG2304 R=1/2 + QPSK, SNR 15 dB.
+"""Benchmark: decoded info bits/s/chip across the headline configurations.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout (the driver contract):
     {"metric": ..., "value": N, "unit": "info_bits/s", "vs_baseline": N}
 
 The headline number is the *blind-detection* pipeline (k-means + 4-candidate
-ambiguity metrics + flooding BP to 50 iters) — the reference's flagship mode
-— measured in steady state on one chip.  ``vs_baseline`` is the ratio to the
-single-core C++ reference measured on this machine (BASELINE_MEASURED.json:
-296.5 blocks/s blind, 749.5 blocks/s known-h at the same operating point).
+ambiguity metrics + flooding BP to 50 iters) on PEG2304 R=1/2 + QPSK at
+15 dB — the reference's flagship mode — measured in steady state on one
+chip.  ``vs_baseline`` is the ratio to the single-core C++ reference
+measured on this machine (BASELINE_MEASURED.json: 296.5 blocks/s blind,
+749.5 blocks/s known-h at the same operating point).
 
-Extra context (known-h throughput, chunk latency, batch) goes to stderr so
-stdout stays a single JSON line.
+Beyond the headline, every throughput row in benchmarks/RESULTS.md is also
+measured by the same run (driver-visible, VERDICT r2 item 2): known-h
+QPSK, 5G flooding, 5G layered min-sum, and PEG8064 blind.  Each extra row
+goes to stderr as its own JSON line and the full set is written to
+``benchmarks/bench_rows_latest.json``.  A wall-clock budget
+(KMLDPC_BENCH_BUDGET_S, default 840 s) guards the driver's timeout: rows
+that would not fit are reported as skipped on stderr — never silently.
 """
 
 from __future__ import annotations
@@ -22,6 +28,13 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
+
+T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("KMLDPC_BENCH_BUDGET_S", "840"))
+
+
+def left() -> float:
+    return BUDGET_S - (time.monotonic() - T0)
 
 
 def measure(runner, key, var, steps: int = 12) -> float:
@@ -55,6 +68,22 @@ def measure(runner, key, var, steps: int = 12) -> float:
     return (time.perf_counter() - t0) / steps
 
 
+# (row key, code file, constellation file, known_h, schedule, snr_dB,
+#  batch, chunks_per_launch) — mirrors RESULTS.md / microbench CHAIN_ROWS.
+ROWS = [
+    ("blind/PEG2304+QPSK", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
+     False, "flooding", 15.0, None, None),
+    ("known/PEG2304+QPSK", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
+     True, "flooding", 15.0, None, None),
+    ("known/5G+16QAM/minsum", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
+     True, "layered-minsum", 18.0, 1024, 4),
+    ("known/5G+16QAM/flooding", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
+     True, "flooding", 18.0, 1024, 4),
+    ("blind/PEG8064+64QAM", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
+     False, "flooding", 18.0, 256, 4),
+]
+
+
 def main() -> None:
     import jax
     import numpy as np
@@ -63,11 +92,7 @@ def main() -> None:
     from kmldpc_tpu.io import parse_constellation
     from kmldpc_tpu.sim.chain import ChainSpec, make_chunk_runner
 
-    code = load_code(os.path.join(HERE, "assets", "PEG2304regular0.5.txt"))
-    const = parse_constellation(os.path.join(HERE, "assets", "2bits_QPSK.txt"))
-    snr = 15.0
-    var = np.float32(10.0 ** (-0.1 * snr))
-    batch = int(os.environ.get("KMLDPC_BENCH_BATCH", "1024"))
+    batch_env = int(os.environ.get("KMLDPC_BENCH_BATCH", "1024"))
     # "float32" (reference-parity default) or "bfloat16" (opt-in message
     # storage dtype; statistically equivalent BER/FER — see PARITY.md).
     dtype = os.environ.get("KMLDPC_BENCH_DTYPE", "float32")
@@ -75,39 +100,58 @@ def main() -> None:
     # overhead; see sim/chain.py make_chunk_runner). The bench uses 16 —
     # pure-throughput setting; the Simulator defaults to 8 to keep
     # stopping-rule granularity at 8k blocks.
-    cpl = int(os.environ.get("KMLDPC_BENCH_CPL", "16"))
+    cpl_env = int(os.environ.get("KMLDPC_BENCH_CPL", "16"))
     key = jax.random.key(0)
 
-    def build(known_h: bool):
-        spec = ChainSpec(
-            code=code, constellation=const, known_h=known_h, fading=True,
-            metric_type=False, metric_iter=5, max_iter=50,
-            encoder_active=True, histogram=False, dtype=dtype,
-        )
-        return make_chunk_runner(spec, batch, cpl)
-
     dev = jax.devices()[0]
-    print(f"bench: device={dev} batch={batch} snr={snr}", file=sys.stderr)
+    print(f"bench: device={dev} batch={batch_env} budget={BUDGET_S:.0f}s",
+          file=sys.stderr)
 
-    blind = build(known_h=False)
-    t_blind = measure(blind, key, var) / cpl
-    blind_bits = batch * code.code_dim / t_blind
+    rows_out: dict = {"device": str(dev)}
+    headline_bits = None
+    for i, (name, cfile, mfile, known, sched, snr, batch, cpl) in enumerate(ROWS):
+        batch = batch or batch_env
+        cpl = cpl or cpl_env
+        # The first two rows are mandatory (headline + its known-h A/B);
+        # later rows yield to the budget so the driver's timeout is never
+        # hit mid-row.  Never skip silently.
+        if i >= 2 and left() < 150:
+            print(f"bench: SKIPPED {name} (budget: {left():.0f}s left)",
+                  file=sys.stderr)
+            continue
+        code = load_code(os.path.join(HERE, "assets", cfile))
+        const = parse_constellation(os.path.join(HERE, "assets", mfile))
+        spec = ChainSpec(
+            code=code, constellation=const, known_h=known, fading=True,
+            metric_type=False, metric_iter=5, max_iter=50,
+            encoder_active=True, histogram=False, schedule=sched, dtype=dtype,
+        )
+        runner = make_chunk_runner(spec, batch, cpl)
+        var = np.float32(10.0 ** (-0.1 * snr))
+        sec = measure(runner, jax.random.fold_in(key, i), var) / cpl
+        blk_s = batch / sec
+        bits_s = blk_s * code.code_dim
+        row = {
+            "blocks_per_s": round(blk_s, 1),
+            "info_bits_per_s": round(bits_s, 1),
+            "batch": batch, "chunks_per_launch": cpl, "snr_db": snr,
+            "schedule": sched,
+        }
+        rows_out[name] = row
+        print("bench-row " + json.dumps({"row": name, **row}), file=sys.stderr)
+        if i == 0:
+            headline_bits = bits_s
 
-    known = build(known_h=True)
-    t_known = measure(known, key, var) / cpl
-    known_bits = batch * code.code_dim / t_known
-
-    print(
-        f"bench: blind {batch / t_blind:.0f} blk/s ({blind_bits:.3e} bits/s), "
-        f"known-h {batch / t_known:.0f} blk/s ({known_bits:.3e} bits/s), "
-        f"per-1024-chunk latency blind {t_blind * 1e3:.1f} ms known {t_known * 1e3:.1f} ms "
-        f"({cpl} sub-chunks/launch)",
-        file=sys.stderr,
-    )
+    try:
+        with open(os.path.join(HERE, "benchmarks", "bench_rows_latest.json"), "w") as f:
+            json.dump(rows_out, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench: could not write bench_rows_latest.json: {e}", file=sys.stderr)
 
     # Single-core C++ reference at the same operating point
     # (BASELINE_MEASURED.json).
-    baseline_blind_bits = 296.5 * code.code_dim
+    baseline_blind_bits = 296.5 * 1152
     try:
         with open(os.path.join(HERE, "BASELINE_MEASURED.json")) as f:
             baseline_blind_bits = json.load(f)["blind"]["info_bits_per_s"]
@@ -118,9 +162,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "blind decoded info bits/s/chip (PEG2304 R=1/2 QPSK, 15 dB, kmeans+metrics+50-iter BP)",
-                "value": round(blind_bits, 1),
+                "value": round(headline_bits, 1),
                 "unit": "info_bits/s",
-                "vs_baseline": round(blind_bits / baseline_blind_bits, 2),
+                "vs_baseline": round(headline_bits / baseline_blind_bits, 2),
             }
         )
     )
