@@ -88,6 +88,10 @@ class TpuConfig:
     schedule: str = "flooding"
     # Normalization factor for min-sum (standard 5G choice).
     minsum_alpha: float = 0.75
+    # Ambiguity-metric decode schedule: "flooding" (reference parity) or
+    # "match" (use the final schedule's decoder for metric decodes too —
+    # with layered-minsum the QC fast path makes blind 5G much faster).
+    metric_schedule: str = "flooding"
     # Exact two-phase decode tuning (bit-identical results for any value):
     # phase-1 iterations on the full batch, phase-2 tile width (0 = batch/8).
     phase1_iters: int = 6

@@ -50,6 +50,7 @@ def make_ambiguity_selector(
     tables: ModemTables,
     metric_type: bool,
     metric_iter: int,
+    decode=None,
 ) -> Callable[..., tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Returns ``select(t, yr, yi, h4_r, h4_i, var) -> (hr, hi, metrics)``.
 
@@ -57,11 +58,24 @@ def make_ambiguity_selector(
     yr/yi: [B, Nsym]; h4_*: [B, 4] candidates.  Output: the winning
     candidate per codeword ([B] each) and the raw |metric| table [B, 4]
     (used by histogram mode).
+
+    ``decode`` overrides the metric decoder: a callable
+    ``decode(t, chan_llr, metric_iter) -> DecodeResult`` where ``t`` is
+    whatever table pytree the caller passes to ``select`` (the parity check
+    count uses ``t.base`` when present, e.g. MinsumTables).  Default: the
+    reference-parity flooding decoder (kmcodec.cc:147-159 runs the same BP
+    as the final decode).  The chain passes the layered min-sum decoder
+    here under ``[tpu].metric_schedule = "match"`` — an extension: the
+    reference has no min-sum at all, so there is no reference behavior to
+    diverge from, but the default stays "flooding" to keep blind sweeps
+    comparable to the C++ simulator.
     """
     demap = make_soft_demapper(tables)
     needs_decode = metric_type or code.is_5g
+    if decode is None:
+        decode = lambda t, llr, it: flooding_decode(t, llr, it)
 
-    def select(t: DecoderTables, yr, yi, h4_r, h4_i, var):
+    def select(t, yr, yi, h4_r, h4_i, var):
         """Returns (hr, hi, metrics, llr_best).
 
         ``llr_best`` is the winning candidate's channel LLRs, reused by the
@@ -78,18 +92,19 @@ def make_ambiguity_selector(
         hi4 = h4_i.reshape(b * 4)
         bit_p0, chan_llr = demap(yr4, yi4, hr4, hi4, var)
 
+        dec_tabs = getattr(t, "base", t)  # MinsumTables carries .base
         if not needs_decode:
             # classic hard metric: inverted hard decision of the demap
             # output, no decoding (kmcodec.cc:109-114).
             rr = (bit_p0 > 0.5).astype(jnp.int8)  # NOTE: P(bit=0) > 0.5 -> 1
-            metric = count_failed_checks(t, rr).astype(jnp.float32)
+            metric = count_failed_checks(dec_tabs, rr).astype(jnp.float32)
         else:
-            res = flooding_decode(t, chan_llr, metric_iter)
+            res = decode(t, chan_llr, metric_iter)
             if metric_type:
                 # sum of log soft-syndromes (kmcodec.cc:147-155)
                 metric = jnp.sum(jnp.log(res.soft_syndrome), axis=-1)
             else:
-                metric = count_failed_checks(t, res.cc_hat).astype(jnp.float32)
+                metric = count_failed_checks(dec_tabs, res.cc_hat).astype(jnp.float32)
         metrics = jnp.abs(metric).reshape(b, 4)  # abs: kmcodec.cc:140
         best = jnp.argmin(metrics, axis=1)  # first min, like std::min_element
         oh = jax.nn.one_hot(best, 4, dtype=h4_r.dtype)

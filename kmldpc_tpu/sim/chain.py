@@ -116,6 +116,12 @@ class ChainSpec:
     # assignments) in ChunkResult.kmeans_diag for .mat export
     # (kmeans.cc:96-111).  Blind mode only.
     kmeans_dump: bool = False
+    # Metric-decode schedule: "flooding" (reference-parity: kmcodec.cc
+    # metric decodes run the same BP as the final decode) or "match" (use
+    # the final schedule's decoder — with schedule="layered-minsum" the QC
+    # fast path decodes metrics ~35x faster per iteration; an extension,
+    # the reference has no min-sum).
+    metric_schedule: str = "flooding"
 
     @staticmethod
     def from_config(cfg: Config, code: LDPCCode, constellation: Constellation) -> "ChainSpec":
@@ -135,6 +141,7 @@ class ChainSpec:
             phase1_iters=cfg.tpu.phase1_iters,
             tile=cfg.tpu.tile,
             kmeans_dump=bool(cfg.tpu.kmeans_dump_dir) and not cfg.decoder.true_h_arg,
+            metric_schedule=cfg.tpu.metric_schedule,
         )
 
 
@@ -190,7 +197,20 @@ def build_chain_fn(
         from ..detect.kmeans import add_diagnostics
 
         estimate = add_diagnostics(estimate, tables)
-    select = make_ambiguity_selector(code, tables, spec.metric_type, spec.metric_iter)
+    if spec.metric_schedule not in ("flooding", "match"):
+        raise ValueError(f"unknown metric_schedule {spec.metric_schedule!r}")
+    use_ms_metric = (
+        spec.metric_schedule == "match" and spec.schedule == "layered-minsum"
+    )
+    mdecode = (
+        (lambda mt, llr, it: layered_minsum_decode(mt, llr, it, spec.minsum_alpha))
+        if use_ms_metric
+        else None
+    )
+    select = make_ambiguity_selector(
+        code, tables, spec.metric_type, spec.metric_iter, decode=mdecode
+    )
+    sel_tabs = (lambda p: p.ms) if use_ms_metric else (lambda p: p.dec)
 
     def run_chunk(params: ChainParams, key: jax.Array, var: jnp.ndarray) -> ChunkResult:
         sigma = jnp.sqrt(var)
@@ -214,7 +234,7 @@ def build_chain_fn(
                 # and dropped by the histogram writer.
                 h1_r = jnp.stack([hr, hr, hr, hr], axis=1)
                 h1_i = jnp.stack([hi, hi, hi, hi], axis=1)
-                _, _, m4, _ = select(params.dec, yr, yi, h1_r, h1_i, var)
+                _, _, m4, _ = select(sel_tabs(params), yr, yi, h1_r, h1_i, var)
                 metrics = jnp.concatenate(
                     [m4[:, :1], jnp.full((batch, 3), jnp.nan, jnp.float32)], axis=1
                 )
@@ -225,11 +245,11 @@ def build_chain_fn(
             pass
         elif spec.kmeans_dump:
             h4_r, h4_i, cl_r, cl_i, km_idx = estimate(yr, yi)
-            hr, hi, metrics, chan_llr = select(params.dec, yr, yi, h4_r, h4_i, var)
+            hr, hi, metrics, chan_llr = select(sel_tabs(params), yr, yi, h4_r, h4_i, var)
             kmeans_diag = (yr, yi, cl_r, cl_i, km_idx, h4_r, h4_i, hr_true, hi_true)
         else:
             h4_r, h4_i = estimate(yr, yi)
-            hr, hi, metrics, chan_llr = select(params.dec, yr, yi, h4_r, h4_i, var)
+            hr, hi, metrics, chan_llr = select(sel_tabs(params), yr, yi, h4_r, h4_i, var)
 
         raw = ()
         if spec.histogram:

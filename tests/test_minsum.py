@@ -78,6 +78,33 @@ def test_chain_with_minsum_schedule(assets, code5g):
     assert int(res.err_blk) <= 1, int(res.err_blk)
 
 
+def test_chain_blind_minsum_matched_metric(assets, code5g):
+    """Blind 5G + 16QAM with schedule=layered-minsum and
+    metric_schedule="match": ambiguity metrics decode with the QC min-sum
+    fast path.  At high SNR all rotations separate and the blind chain must
+    match known-h (zero errors)."""
+    const = parse_constellation(str(assets / "4bit_16QAM_Gray.txt"))
+    spec = ChainSpec(
+        code=code5g, constellation=const, known_h=False, fading=True,
+        metric_type=False, metric_iter=5, max_iter=30,
+        encoder_active=True, histogram=False, schedule="layered-minsum",
+        metric_schedule="match",
+    )
+    run = make_chunk_runner(spec, batch=16)
+    res = run(jax.random.key(2), np.float32(10 ** (-2.4)))  # 24 dB
+    assert int(res.err_blk) == 0, (int(res.err_blk), int(res.err_bit))
+    # soft metric variant exercises log(soft_syndrome) of the min-sum path
+    spec_s = ChainSpec(
+        code=code5g, constellation=const, known_h=False, fading=True,
+        metric_type=True, metric_iter=5, max_iter=30,
+        encoder_active=True, histogram=False, schedule="layered-minsum",
+        metric_schedule="match",
+    )
+    run_s = make_chunk_runner(spec_s, batch=16)
+    res_s = run_s(jax.random.key(3), np.float32(10 ** (-2.4)))
+    assert int(res_s.err_blk) == 0, (int(res_s.err_blk), int(res_s.err_bit))
+
+
 def test_bad_schedule_raises(assets, code5g):
     const = parse_constellation(str(assets / "4bit_16QAM_Gray.txt"))
     spec = ChainSpec(

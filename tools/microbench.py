@@ -70,6 +70,7 @@ def bench_decoders(results: dict, batch: int = 1024, iters: int = 20) -> None:
 
     from kmldpc_tpu.code import load_code
     from kmldpc_tpu.decoder.bp import DecoderTables, flooding_decode
+    from kmldpc_tpu.decoder.bp_em import flooding_decode_em
     from kmldpc_tpu.decoder.minsum import layered_minsum_decode, minsum_tables
 
     base_key = jax.random.key(7)
@@ -98,12 +99,23 @@ def bench_decoders(results: dict, batch: int = 1024, iters: int = 20) -> None:
                 flooding_decode(t, llr_of(i), iters)
             )
         )
+        flood_em = jax.jit(
+            lambda t, i: (lambda r: (r.iters.sum(), r))(
+                flooding_decode_em(t, llr_of(i), iters)
+            )
+        )
         ms = jax.jit(
             lambda t, i: (lambda r: (r.iters.sum(), r))(
                 layered_minsum_decode(t, llr_of(i), iters, 0.75)
             )
         )
-        rows = [("flooding", flood, dt), (f"minsum[{'qc' if mt.qc else 'generic'}]", ms, mt)]
+        rows = [
+            ("flooding", flood, dt),
+            # the production layout (slot-major / degree-class core used by
+            # the chain's two-phase path)
+            ("flooding[em]", flood_em, dt),
+            (f"minsum[{'qc' if mt.qc else 'generic'}]", ms, mt),
+        ]
         if mt.qc is not None:
             mt_gen = minsum_tables(code, layer_size=code.lifting_factor, use_qc=False)
             rows.append(("minsum[generic]", ms, mt_gen))
