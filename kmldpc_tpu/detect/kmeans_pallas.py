@@ -1,21 +1,37 @@
-"""Fused Pallas kernel for the k-means assignment + accumulation step.
+"""Fused Pallas kernel: the ENTIRE blind k-means estimate in one kernel.
 
 The pure-JAX estimator (detect/kmeans.py) materializes, per iteration, the
 [B, Nsym, M] distance tensor, its argmin, and a one-hot of the assignment
-(tens of MB of HBM traffic per iteration at production batch sizes).  This
-kernel fuses distance computation, running-argmin and the per-cluster
-count/sum accumulation entirely in VMEM: per iteration it reads the
-received symbols once and writes only the [B, M] statistics.
+(tens of MB of HBM traffic per iteration at production batch sizes).  The
+first-generation kernel here fused one iteration's assignment+accumulation
+but still ran 20 ``pallas_call``s (one per iteration) with the re-anchoring
+in plain JAX between them — and a jax 0.9.0 closed_call lowering-cache bug
+forbade placing those calls inside a ``fori_loop`` for M > 4, forcing a
+20-way unroll whose compile time grew with M (the 64QAM variant compiled
+for minutes).
 
-Grid: (batch tiles, symbol tiles); the symbol-tile axis accumulates into
-the same output block (initialized at j == 0 — the standard revisiting
-pattern).  The constellation loop is unrolled (M <= 64), tracking the
-running minimum with strict ``<`` so ties resolve to the first minimum,
-exactly like ``jnp.argmin`` and the reference's ``min_element``
-(kmeans.cc:40-44).
+This version holds the WHOLE loop inside one kernel: each grid step loads
+its [TB, Nsym] tile of received symbols into VMEM once and runs
 
-The centroid re-projection (anchor select + complex division) stays in
-plain JAX — it is O(B·M) and irrelevant to performance.
+    init (max-|y| anchor)  ->  fori_loop(iters):
+        assignment (M-way running min, unrolled over the constellation)
+        per-cluster counts/sums (masked row reductions)
+        centroid + re-anchoring (constellation re-projection)  ->  hhat
+
+entirely on-core, writing only the final [TB, 1] gain.  HBM traffic drops
+to one read of y per estimate (vs one per iteration), the iteration loop is
+a *rolled* ``lax.fori_loop`` inside the kernel (Mosaic compiles the body
+once — compile time no longer scales with ``iters``), and no pallas_call
+ever sits in a traced loop, so the M <= 4 gate is gone.
+
+Reference semantics preserved (kmeans.cc:14-84, intended form — see
+detect/kmeans.py for the documented quirk divergences): max-|y| init
+anchored to s0, nearest-cluster assignment with first-minimum ties,
+count-0-safe centroid, "max" (or "first") anchor re-projection through s0,
+empty-anchor keeps the previous gain.
+
+The constellation is baked into the kernel as scalar constants (M <= 64
+floats) — no operand, no broadcast.
 """
 
 from __future__ import annotations
@@ -28,149 +44,115 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile_sublane(n: int, cap: int = 256) -> int:
-    """Second-to-last block dim: any multiple of 8 that divides n."""
-    for t in (256, 224, 192, 160, 128, 96, 64, 32, 16, 8):
-        if t <= cap and n % t == 0:
+def _pick_tile_sublane(b: int, nsym: int, budget_bytes: int = 6 << 20) -> int:
+    """Batch-tile height: multiple of 8 dividing b, sized so ~8 live
+    [TB, Nsym] f32 temporaries fit comfortably in VMEM."""
+    for t in (256, 128, 64, 32, 16, 8):
+        if b % t == 0 and t * nsym * 4 * 8 <= budget_bytes:
             return t
-    return n
+    return min(b, 8)
 
 
-def _pick_tile_lane(n: int, cap: int = 512) -> int:
-    """Last block dim: Mosaic requires a multiple of 128 OR the full
-    dimension (e.g. 480 or 1344 symbols have no x128 divisor)."""
-    for t in (512, 384, 256, 128):
-        if t <= cap and n % t == 0:
-            return t
-    return n
-
-
-def _accum_kernel(yr_ref, yi_ref, hr_ref, hi_ref, sr_ref, si_ref,
-                  cnt_ref, sumr_ref, sumi_ref, *, m_points: int):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
-        sumr_ref[:] = jnp.zeros_like(sumr_ref)
-        sumi_ref[:] = jnp.zeros_like(sumi_ref)
-
-    yr = yr_ref[:]  # [TB, TS]
+def _kmeans_kernel(yr_ref, yi_ref, hr_ref, hi_ref, *,
+                   sr: tuple, si: tuple, iters: int, anchor: str):
+    m_points = len(sr)
+    s0_r, s0_i = sr[0], si[0]
+    s0_norm = s0_r * s0_r + s0_i * s0_i
+    yr = yr_ref[:]  # [TB, S]
     yi = yi_ref[:]
-    hr = hr_ref[:]  # [TB, 1]
-    hi = hi_ref[:]
+    tb, s = yr.shape
 
-    best = jnp.full_like(yr, jnp.inf)
-    bestm = jnp.zeros(yr.shape, jnp.int32)
-    for m in range(m_points):
-        sr = sr_ref[0, m]
-        si = si_ref[0, m]
-        crm = hr * sr - hi * si  # [TB, 1]
-        cim = hr * si + hi * sr
-        dre = yr - crm
-        dim = yi - cim
-        d = dre * dre + dim * dim
-        take = d < best
-        best = jax.lax.select(take, d, best)
-        bestm = jax.lax.select(take, jnp.full_like(bestm, m), bestm)
+    # --- init: point with max |y| (first index on ties, like argmax),
+    # anchored to s0 (kmeans.cc:17-27) ---
+    mag2 = yr * yr + yi * yi
+    best0 = jnp.max(mag2, axis=1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, s), 1)
+    pick = jnp.min(jnp.where(mag2 == best0, col, s), axis=1, keepdims=True)
+    sel = col == pick
+    ymax_r = jnp.sum(jnp.where(sel, yr, 0.0), axis=1)  # [TB]
+    ymax_i = jnp.sum(jnp.where(sel, yi, 0.0), axis=1)
+    h_r0 = (ymax_r * s0_r + ymax_i * s0_i) / s0_norm
+    h_i0 = (ymax_i * s0_r - ymax_r * s0_i) / s0_norm
 
-    cnts = []
-    sums_r = []
-    sums_i = []
-    for m in range(m_points):
-        sel = (bestm == m).astype(jnp.float32)
-        cnts.append(jnp.sum(sel, axis=1))
-        sums_r.append(jnp.sum(sel * yr, axis=1))
-        sums_i.append(jnp.sum(sel * yi, axis=1))
-    cnt_ref[:] += jnp.stack(cnts, axis=1)
-    sumr_ref[:] += jnp.stack(sums_r, axis=1)
-    sumi_ref[:] += jnp.stack(sums_i, axis=1)
+    def body(_, h):
+        h_r, h_i = h  # [TB]
+        # assignment: running min over the unrolled constellation; strict <
+        # keeps the first minimum (jnp.argmin / std::min_element ties)
+        best = jnp.full((tb, s), jnp.inf, jnp.float32)
+        bestm = jnp.zeros((tb, s), jnp.int32)
+        for m in range(m_points):
+            crm = h_r * sr[m] - h_i * si[m]  # [TB]
+            cim = h_r * si[m] + h_i * sr[m]
+            dre = yr - crm[:, None]
+            dim = yi - cim[:, None]
+            d = dre * dre + dim * dim
+            take = d < best
+            best = jnp.where(take, d, best)
+            bestm = jnp.where(take, m, bestm)
+        # per-cluster statistics: masked row reductions -> [TB, M]
+        cnts, sums_r, sums_i = [], [], []
+        for m in range(m_points):
+            selm = bestm == m
+            cnts.append(jnp.sum(selm.astype(jnp.float32), axis=1))
+            sums_r.append(jnp.sum(jnp.where(selm, yr, 0.0), axis=1))
+            sums_i.append(jnp.sum(jnp.where(selm, yi, 0.0), axis=1))
+        counts = jnp.stack(cnts, axis=1)  # [TB, M]
+        safe = jnp.maximum(counts, 1.0)
+        cent_r = jnp.stack(sums_r, axis=1) / safe
+        cent_i = jnp.stack(sums_i, axis=1) / safe
+        if anchor == "first":
+            a_r, a_i, a_cnt = cent_r[:, 0], cent_i[:, 0], counts[:, 0]
+        else:
+            cmag = jnp.where(counts > 0, cent_r * cent_r + cent_i * cent_i, -1.0)
+            cbest = jnp.max(cmag, axis=1, keepdims=True)
+            mcol = jax.lax.broadcasted_iota(jnp.int32, (tb, m_points), 1)
+            mpick = jnp.min(
+                jnp.where(cmag == cbest, mcol, m_points), axis=1, keepdims=True
+            )
+            msel = mcol == mpick
+            a_r = jnp.sum(jnp.where(msel, cent_r, 0.0), axis=1)
+            a_i = jnp.sum(jnp.where(msel, cent_i, 0.0), axis=1)
+            a_cnt = jnp.sum(jnp.where(msel, counts, 0.0), axis=1)
+        # re-projection hhat <- anchor centroid / s0 (kmeans.cc:64-74);
+        # empty anchor keeps the previous gain (documented divergence)
+        new_r = (a_r * s0_r + a_i * s0_i) / s0_norm
+        new_i = (a_i * s0_r - a_r * s0_i) / s0_norm
+        keep = a_cnt > 0
+        return jnp.where(keep, new_r, h_r), jnp.where(keep, new_i, h_i)
 
-
-def _assign_accumulate(yr, yi, hr, hi, sr, si, m_points: int):
-    """counts/sum_r/sum_i: [B, M] cluster statistics for gains (hr, hi).
-
-    Deliberately NOT wrapped in jax.jit: a nested jit inside a fori_loop
-    body triggers a closed_call lowering-cache KeyError in jax 0.9.0 when
-    the body also contains a pallas_call."""
-    b, nsym = yr.shape
-    tb = _pick_tile_sublane(b, 256)
-    ts = _pick_tile_lane(nsym, 512)
-    grid = (b // tb, nsym // ts)
-    out_shape = jax.ShapeDtypeStruct((b, m_points), jnp.float32)
-    spec_y = pl.BlockSpec((tb, ts), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    spec_h = pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    spec_s = pl.BlockSpec((1, m_points), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((tb, m_points), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_accum_kernel, m_points=m_points),
-        grid=grid,
-        out_shape=(out_shape, out_shape, out_shape),
-        in_specs=[spec_y, spec_y, spec_h, spec_h, spec_s, spec_s],
-        out_specs=(spec_out, spec_out, spec_out),
-    )(yr, yi, hr[:, None], hi[:, None], sr[None, :], si[None, :])
+    h_r, h_i = jax.lax.fori_loop(0, iters, body, (h_r0, h_i0))
+    hr_ref[:] = h_r[:, None]
+    hi_ref[:] = h_i[:, None]
 
 
 def make_blind_estimator_pallas(tables, iters: int = 20, anchor: str = "max"):
     """Drop-in for detect.kmeans.make_blind_estimator, Pallas-accelerated."""
     if anchor not in ("max", "first"):
         raise ValueError(f"anchor must be 'max' or 'first', got {anchor!r}")
-    sr = tables.points_re
-    si = tables.points_im
-    m = int(sr.shape[0])
-    s0_r, s0_i = sr[0], si[0]
-    s0_norm = s0_r * s0_r + s0_i * s0_i
+    sr = tuple(float(v) for v in tables.points_re)
+    si = tuple(float(v) for v in tables.points_im)
 
     def estimate(yr: jnp.ndarray, yi: jnp.ndarray):
-        # NOTE: no take_along_axis anywhere in this function — its
-        # closed_call lowering collides with the Pallas kernel's lowering
-        # cache in jax 0.9.0 (KeyError in _lower_jaxpr_to_fun_cached);
-        # one-hot contractions express the same selections.
-        mag2 = yr * yr + yi * yi
-        jstar = jnp.argmax(mag2, axis=1)
-        oh_j = jax.nn.one_hot(jstar, yr.shape[1], dtype=yr.dtype)
-        ymax_r = jnp.sum(yr * oh_j, axis=1)
-        ymax_i = jnp.sum(yi * oh_j, axis=1)
-        h_r = (ymax_r * s0_r + ymax_i * s0_i) / s0_norm
-        h_i = (ymax_i * s0_r - ymax_r * s0_i) / s0_norm
-
-        def body(_, h):
-            h_r, h_i = h
-            counts, sum_r, sum_i = _assign_accumulate(yr, yi, h_r, h_i, sr, si, m)
-            safe = jnp.maximum(counts, 1.0)
-            cent_r = sum_r / safe
-            cent_i = sum_i / safe
-            if anchor == "first":
-                k = jnp.zeros(yr.shape[0], dtype=jnp.int32)
-            else:
-                cmag = jnp.where(counts > 0, cent_r**2 + cent_i**2, -1.0)
-                k = jnp.argmax(cmag, axis=1)
-            oh = jax.nn.one_hot(k, m, dtype=cent_r.dtype)
-            a_r = jnp.sum(cent_r * oh, axis=1)
-            a_i = jnp.sum(cent_i * oh, axis=1)
-            a_cnt = jnp.sum(counts * oh, axis=1)
-            new_r = (a_r * s0_r + a_i * s0_i) / s0_norm
-            new_i = (a_i * s0_r - a_r * s0_i) / s0_norm
-            keep = a_cnt > 0
-            return jnp.where(keep, new_r, h_r), jnp.where(keep, new_i, h_i)
-
-        # NOTE: the reference's per-block convergence break (kmeans.cc:47-54)
-        # has no useful batched analogue: measured at 15 dB, ~2% of blocks
-        # oscillate in small limit cycles and never satisfy exact equality,
-        # so a batch-wide early-stop never fires and only adds predicate
-        # overhead.  Fixed budget, like the reference's worst case.
-        #
-        # jax 0.9.0 hits a closed_call lowering-cache KeyError when a
-        # larger pallas_call sits inside a fori_loop body; unrolling the
-        # (static, small) iteration count avoids the loop entirely for
-        # M > 4 at a modest compile-time cost.
-        if m > 4:
-            h = (h_r, h_i)
-            for it in range(iters):
-                h = body(it, h)
-            h_r, h_i = h
-        else:
-            h_r, h_i = jax.lax.fori_loop(0, iters, body, (h_r, h_i))
+        b, nsym = yr.shape
+        tb = _pick_tile_sublane(b, nsym)
+        grid = (b // tb,)
+        kern = functools.partial(
+            _kmeans_kernel, sr=sr, si=si, iters=iters, anchor=anchor
+        )
+        spec_y = pl.BlockSpec((tb, nsym), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        spec_h = pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        out = jax.ShapeDtypeStruct((b, 1), jnp.float32)
+        h_r, h_i = pl.pallas_call(
+            kern,
+            grid=grid,
+            out_shape=(out, out),
+            in_specs=[spec_y, spec_y],
+            out_specs=(spec_h, spec_h),
+        )(yr.astype(jnp.float32), yi.astype(jnp.float32))
+        h_r = h_r[:, 0]
+        h_i = h_i[:, 0]
+        # 4 candidates hhat*e^{jk pi/2} = hhat*{1, j, -1, -j}
+        # (simulator.cc:146-148)
         h4_r = jnp.stack([h_r, -h_i, -h_r, h_i], axis=1)
         h4_i = jnp.stack([h_i, h_r, -h_i, -h_r], axis=1)
         return h4_r, h4_i

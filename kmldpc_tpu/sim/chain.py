@@ -176,15 +176,12 @@ def build_chain_fn(
     msg_dtype = jnp.float32 if spec.dtype == "float32" else jnp.bfloat16
     impl = spec.kmeans_impl
     if impl == "auto":
-        # Pallas kernel on TPU backends; jax 0.9.0 hits a closed_call
-        # lowering-cache KeyError when a pallas_call sits in a fori_loop
-        # body for the larger-M kernels, so auto restricts the kernel to
-        # small constellations until that upstream bug is fixed.
-        use_pallas = (
-            jax.default_backend() not in ("cpu",)
-            and tables.num_points <= 4
-        )
-        impl = "pallas" if use_pallas else "jax"
+        # Pallas kernel on TPU backends for every constellation size: the
+        # single-kernel design (whole iteration loop inside the kernel,
+        # detect/kmeans_pallas.py) removed the former M <= 4 gate — no
+        # pallas_call sits in a traced loop anymore, so the jax 0.9.0
+        # closed_call lowering-cache bug no longer applies.
+        impl = "pallas" if jax.default_backend() not in ("cpu",) else "jax"
     if impl == "pallas":
         from ..detect.kmeans_pallas import make_blind_estimator_pallas
 

@@ -9,7 +9,9 @@ from kmldpc_tpu.io import parse_constellation
 from kmldpc_tpu.ops.modem import ModemTables
 
 
-@pytest.mark.parametrize("fname", ["2bits_QPSK.txt", "4bit_16QAM_Gray.txt"])
+@pytest.mark.parametrize(
+    "fname", ["2bits_QPSK.txt", "4bit_16QAM_Gray.txt", "6bits_64QAM_Gray.txt"]
+)
 def test_pallas_kmeans_matches_jax(assets, fname, monkeypatch):
     """The fused kernel must agree with the pure-JAX estimator.
 
