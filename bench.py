@@ -80,7 +80,7 @@ ROWS = [
     ("known/5G+16QAM/flooding", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
      True, "flooding", 18.0, 1024, 4),
     ("blind/PEG8064+64QAM", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     False, "flooding", 18.0, 256, 4),
+     False, "flooding", 18.0, 1024, 1),
 ]
 
 

@@ -198,10 +198,12 @@ CHAIN_ROWS = [
      True, "layered-minsum", False, 18.0, 1024, 4),
     ("5G+16QAM/blind/hard", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
      False, "flooding", False, 18.0, 1024, 4),
+    # batch 1024: measured 2.1-2.7x over batch 256 (the decoder while-loop
+    # amortizes per-launch and per-iteration fixed cost over more lanes)
     ("PEG8064+64QAM/known", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     True, "flooding", False, 18.0, 256, 4),
+     True, "flooding", False, 18.0, 1024, 1),
     ("PEG8064+64QAM/blind", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     False, "flooding", False, 18.0, 256, 4),
+     False, "flooding", False, 18.0, 1024, 1),
 ]
 
 
@@ -238,11 +240,44 @@ def bench_chain(results: dict, only: str | None = None) -> None:
               f"({sec/cpl*1e3:.2f} ms/chunk, B={batch} cpl={cpl})", file=sys.stderr)
 
 
+def diff_against(results: dict, baseline_path: str) -> None:
+    """Print a per-row regression report vs a committed baseline JSON.
+
+    Rows sharing a key are compared on their primary metric (us_per_iter /
+    us_per_call: lower is better; blocks_per_s: higher is better).  Rows
+    present on only one side are listed — a silently dropped row is how
+    perf regressions have hidden twice (VERDICT rounds 1-2).
+    """
+    with open(baseline_path) as f:
+        base = json.load(f)
+    metrics = ("us_per_iter", "us_per_call", "blocks_per_s")
+    keys = sorted((set(base) | set(results)) - {"device"})
+    print(f"--- diff vs {baseline_path} ---", file=sys.stderr)
+    for k in keys:
+        b, r = base.get(k), results.get(k)
+        if b is None or r is None:
+            print(f"{k}: {'NEW' if b is None else 'MISSING (was in baseline)'}",
+                  file=sys.stderr)
+            continue
+        for m in metrics:
+            if m in b and m in r and b[m]:
+                better_low = m.startswith("us_")
+                change = (r[m] - b[m]) / b[m] * 100.0
+                word = ("slower" if change > 0 else "faster") if better_low else \
+                       ("faster" if change > 0 else "slower")
+                print(f"{k}: {m} {b[m]:,} -> {r[m]:,} ({abs(change):.1f}% {word})",
+                      file=sys.stderr)
+                break
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("groups", nargs="*", default=[],
                     help="decoder kmeans chain (default all); or chain:<substr>")
     ap.add_argument("--json", default=None, help="write results JSON here")
+    ap.add_argument("--diff", default=None,
+                    help="baseline JSON (e.g. benchmarks/microbench_r3_chain.json) "
+                         "to report per-row changes against")
     args = ap.parse_args()
     groups = args.groups or ["decoder", "kmeans", "chain"]
 
@@ -265,6 +300,8 @@ def main() -> None:
     if args.json:
         with open(args.json, "w") as f:
             f.write(out + "\n")
+    if args.diff:
+        diff_against(results, args.diff)
     print(out)
 
 
