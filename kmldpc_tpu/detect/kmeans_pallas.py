@@ -44,11 +44,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile_sublane(b: int, nsym: int, budget_bytes: int = 6 << 20) -> int:
-    """Batch-tile height: multiple of 8 dividing b, sized so ~8 live
-    [TB, Nsym] f32 temporaries fit comfortably in VMEM."""
+def _pick_tile_sublane(
+    b: int, nsym: int, m_points: int, budget_bytes: int = 12 << 20
+) -> int:
+    """Batch-tile height: multiple of 8 dividing b, sized to VMEM.
+
+    Mosaic stack-allocates roughly one [TB, Nsym] f32 temporary per
+    unrolled constellation step (measured: the M=64 kernel at TB=256,
+    S=384 wanted 23.6 MB of scoped vmem against the 16 MB limit), so the
+    budget scales with M: keep (M + 6) live tiles under ~12 MB."""
+    per_tile = nsym * 4 * (m_points + 6)
     for t in (256, 128, 64, 32, 16, 8):
-        if b % t == 0 and t * nsym * 4 * 8 <= budget_bytes:
+        if b % t == 0 and t * per_tile <= budget_bytes:
             return t
     return min(b, 8)
 
@@ -134,7 +141,7 @@ def make_blind_estimator_pallas(tables, iters: int = 20, anchor: str = "max"):
 
     def estimate(yr: jnp.ndarray, yi: jnp.ndarray):
         b, nsym = yr.shape
-        tb = _pick_tile_sublane(b, nsym)
+        tb = _pick_tile_sublane(b, nsym, len(sr))
         grid = (b // tb,)
         kern = functools.partial(
             _kmeans_kernel, sr=sr, si=si, iters=iters, anchor=anchor
