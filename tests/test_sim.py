@@ -2,6 +2,7 @@
 
 import json
 import os
+import pathlib
 import subprocess
 import sys
 
@@ -344,3 +345,33 @@ def test_awgn_h1_mode(assets):
     # 3 dB AWGN h=1 is above the rate-1/2 QPSK threshold: zero errors,
     # while Rayleigh fading at the same SNR has FER ~0.5
     assert r.err_blk == 0
+
+
+def test_parity_sweep_configs_load_and_trace():
+    """Every committed parity-sweep config (benchmarks/parity/configs/)
+    loads through the reference TOML schema, resolves its bundled assets,
+    and traces a valid chunk program (jax.eval_shape — no compute).  Keeps
+    the PARITY.md reproduction path from rotting."""
+    import glob
+
+    from kmldpc_tpu.sim.chain import build_chain_fn, make_chain_params
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    cfgs = sorted(glob.glob(str(root / "benchmarks" / "parity" / "configs" / "*.toml")))
+    assert len(cfgs) >= 8, cfgs
+    for path in cfgs:
+        cfg = load_config(path)
+        assert os.path.exists(cfg.matrix_path()), path
+        assert os.path.exists(cfg.modem_path()), path
+        code = load_code(cfg.matrix_path())
+        const = parse_constellation(cfg.modem_path())
+        spec = ChainSpec.from_config(cfg, code, const)
+        # min-sum sweeps must engage the QC fast path on the 5G code
+        if spec.schedule == "layered-minsum":
+            from kmldpc_tpu.decoder.minsum import minsum_tables
+
+            assert minsum_tables(code).qc is not None, path
+        params = make_chain_params(spec)
+        fn = build_chain_fn(spec, batch=4)
+        out = jax.eval_shape(fn, params, jax.random.key(0), np.float32(0.1))
+        assert out.tot_blk.shape == ()

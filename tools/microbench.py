@@ -187,23 +187,34 @@ def bench_kmeans(results: dict, batch: int = 1024, nsym: int = 1152) -> None:
 
 
 CHAIN_ROWS = [
-    # (label, code, const, known_h, schedule, metric_type, snr, batch, cpl)
+    # (label, code, const, known_h, schedule, metric_type, snr, batch, cpl,
+    #  extra ChainSpec kwargs)
     ("PEG2304+QPSK/blind", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
-     False, "flooding", False, 15.0, 1024, 16),
+     False, "flooding", False, 15.0, 1024, 16, {}),
     ("PEG2304+QPSK/known", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
-     True, "flooding", False, 15.0, 1024, 16),
+     True, "flooding", False, 15.0, 1024, 16, {}),
     ("5G+16QAM/known/flooding", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
-     True, "flooding", False, 18.0, 1024, 4),
+     True, "flooding", False, 18.0, 1024, 4, {}),
     ("5G+16QAM/known/minsum", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
-     True, "layered-minsum", False, 18.0, 1024, 4),
+     True, "layered-minsum", False, 18.0, 1024, 4, {}),
     ("5G+16QAM/blind/hard", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
-     False, "flooding", False, 18.0, 1024, 4),
+     False, "flooding", False, 18.0, 1024, 4, {}),
+    # metric_schedule="match": the 4 candidate metric decodes use the QC
+    # min-sum fast path too (opt-in extension; the default metric decode
+    # stays flooding for reference parity)
+    ("5G+16QAM/blind/hard/minsum", "5GLDPCBG2a3_R12_K960.txt",
+     "4bit_16QAM_Gray.txt", False, "layered-minsum", False, 18.0, 1024, 4,
+     {"metric_schedule": "match"}),
     # batch 1024: measured 2.1-2.7x over batch 256 (the decoder while-loop
     # amortizes per-launch and per-iteration fixed cost over more lanes)
     ("PEG8064+64QAM/known", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     True, "flooding", False, 18.0, 1024, 1),
+     True, "flooding", False, 18.0, 1024, 1, {}),
     ("PEG8064+64QAM/blind", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     False, "flooding", False, 18.0, 1024, 1),
+     False, "flooding", False, 18.0, 1024, 1, {}),
+    # opt-in bfloat16 message storage — the HBM-bandwidth lever the PEG8064
+    # roofline analysis identifies (RESULTS.md); statistical parity only
+    ("PEG8064+64QAM/known/bf16", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
+     True, "flooding", False, 18.0, 1024, 1, {"dtype": "bfloat16"}),
 ]
 
 
@@ -216,7 +227,8 @@ def bench_chain(results: dict, only: str | None = None) -> None:
     from kmldpc_tpu.sim.chain import ChainSpec, make_chunk_runner
 
     key = jax.random.key(0)
-    for (label, cfile, mfile, known, sched, mtype, snr, batch, cpl) in CHAIN_ROWS:
+    for (label, cfile, mfile, known, sched, mtype, snr, batch, cpl,
+         extra) in CHAIN_ROWS:
         if only and only not in label:
             continue
         code = load_code(os.path.join(ASSETS, cfile))
@@ -224,7 +236,7 @@ def bench_chain(results: dict, only: str | None = None) -> None:
         spec = ChainSpec(
             code=code, constellation=const, known_h=known, fading=True,
             metric_type=mtype, metric_iter=5, max_iter=50,
-            encoder_active=True, histogram=False, schedule=sched,
+            encoder_active=True, histogram=False, schedule=sched, **extra,
         )
         runner = make_chunk_runner(spec, batch, cpl)
         var = np.float32(10.0 ** (-0.1 * snr))
