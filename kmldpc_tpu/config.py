@@ -84,7 +84,10 @@ class TpuConfig:
     batch: int = 0
     # Compute dtype for the BP decoder / demapper ("float32" | "bfloat16").
     dtype: str = "float32"
-    # Decoder schedule: "flooding" (reference parity) | "layered-minsum".
+    # Decoder schedule: "flooding" (reference parity) | "layered-minsum"
+    # (QC fast path for 5G codes) | "flooding-minsum" (min-sum CN rule on
+    # the flooding schedule — the transcendental-free option for non-QC
+    # codes such as PEG8064).
     schedule: str = "flooding"
     # Normalization factor for min-sum (standard 5G choice).
     minsum_alpha: float = 0.75

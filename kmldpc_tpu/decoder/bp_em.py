@@ -45,6 +45,8 @@ def flooding_decode_em(
     chan_llr: jnp.ndarray,
     iter_count: int,
     msg_dtype=jnp.float32,
+    cn_rule: str = "sumprod",
+    alpha: float = 0.75,
 ) -> DecodeResult:
     """Drop-in replacement for bp.flooding_decode (same result semantics).
 
@@ -52,9 +54,20 @@ def flooding_decode_em(
     (node arithmetic stays f32).  float32 is the reference-parity path;
     bfloat16 halves message bandwidth (~1.25x faster per iteration on v5e)
     at statistically — not bitwise — equivalent BER/FER (see PARITY.md).
+
+    ``cn_rule`` selects the check-node update: "sumprod" (reference-parity
+    Gallager-phi tanh rule) or "minsum" (normalized min-sum with factor
+    ``alpha``, the same per-edge arithmetic as decoder/minsum.py but on the
+    flooding schedule).  Min-sum replaces the two transcendental phi passes
+    — the compute bottleneck the PEG8064 roofline analysis identifies
+    (benchmarks/RESULTS.md) — with min1/min2 vector reductions; it is an
+    opt-in extension (``[tpu].schedule = "flooding-minsum"``) validated
+    statistically, not bitwise, against the reference.
     """
     llr_tx = chan_llr.astype(jnp.float32).T  # [tx, B]
-    res = _decode_cols(t, _insert_punct(t, llr_tx), iter_count, msg_dtype)
+    res = _decode_cols(
+        t, _insert_punct(t, llr_tx), iter_count, msg_dtype, cn_rule, alpha
+    )
     return DecodeResult(
         res.uu_hat.T, res.cc_hat.T, res.converged, res.iters, res.soft_syndrome.T
     )
@@ -68,18 +81,53 @@ def _insert_punct(t: DecoderTables, llr_tx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _decode_cols(
-    t: DecoderTables, llr_col: jnp.ndarray, iter_count: int, msg_dtype=jnp.float32
+    t: DecoderTables, llr_col: jnp.ndarray, iter_count: int,
+    msg_dtype=jnp.float32, cn_rule: str = "sumprod", alpha: float = 0.75,
 ) -> DecodeResult:
     """Column-major core dispatch: regular codes use the padded slot-major
     loop below; irregular codes use the dense degree-class loop
     (:func:`_decode_cols_classes`), which carries zero pad slots."""
+    if cn_rule not in ("sumprod", "minsum"):
+        raise ValueError(f"unknown cn_rule {cn_rule!r}")
     if not t.is_regular:
-        return _decode_cols_classes(t, llr_col, iter_count, msg_dtype)
-    return _decode_cols_padded(t, llr_col, iter_count, msg_dtype)
+        return _decode_cols_classes(t, llr_col, iter_count, msg_dtype, cn_rule, alpha)
+    return _decode_cols_padded(t, llr_col, iter_count, msg_dtype, cn_rule, alpha)
+
+
+def _cn_minsum(v2c: jnp.ndarray, mask, alpha: float, llr_clip):
+    """Normalized min-sum check-node update over the leading (slot) axis.
+
+    ``v2c``: [d, n, B] f32; ``mask``: [d, n, 1] (1 = real edge) or None for
+    regular codes.  Returns (c2v_new [d, n, B], soft_syndrome [n, B]).
+    Same per-edge arithmetic as decoder/minsum.py (min1/min2 exclusion,
+    sign product, alpha normalization, sigmoid soft syndrome), applied on
+    the flooding schedule.
+    """
+    big = jnp.float32(1e30)
+    d = v2c.shape[0]
+    sign = jnp.where(v2c < 0, -1.0, 1.0)
+    mag = jnp.abs(v2c)
+    if mask is not None:
+        sign = jnp.where(mask > 0, sign, 1.0)
+        mag = jnp.where(mask > 0, mag, big)
+    min1 = jnp.min(mag, axis=0)  # [n, B]
+    arg1 = jnp.argmin(mag, axis=0)
+    onehot = arg1[None] == jnp.arange(d)[:, None, None]
+    min2 = jnp.min(jnp.where(onehot, big, mag), axis=0)
+    excl_min = jnp.where(onehot, min2[None], min1[None])
+    sign_prod = jnp.prod(sign, axis=0)  # [n, B]
+    c2v_new = jnp.float32(alpha) * sign_prod[None] * sign * jnp.minimum(
+        excl_min, llr_clip
+    )
+    if mask is not None:
+        c2v_new = c2v_new * mask
+    # min-sum soft syndrome: row LLR of the XOR ~ sign_prod * min1
+    return c2v_new, jax.nn.sigmoid(sign_prod * min1)
 
 
 def _decode_cols_classes(
-    t: DecoderTables, llr_col: jnp.ndarray, iter_count: int, msg_dtype=jnp.float32
+    t: DecoderTables, llr_col: jnp.ndarray, iter_count: int,
+    msg_dtype=jnp.float32, cn_rule: str = "sumprod", alpha: float = 0.75,
 ) -> DecodeResult:
     """Degree-class flooding core for irregular codes — same semantics as
     :func:`_decode_cols_padded` / bp.flooding_decode, dense message layout.
@@ -145,6 +193,12 @@ def _decode_cols_classes(
                 .astype(jnp.float32)
             )
             blk = pe - ce  # v2c for this row class
+            if cn_rule == "minsum":
+                new, ss_blk = _cn_minsum(blk, None, alpha, llr_clip)
+                news.append(new.astype(msg_dtype).reshape(d * n, b))
+                sss.append(ss_blk)
+                roff += d * n
+                continue
             sign = jnp.where(blk < 0, -1.0, 1.0)
             mag = jnp.maximum(jnp.abs(blk), _PHI_ARG_MIN)
             ph = phi(mag)
@@ -184,7 +238,8 @@ def _decode_cols_classes(
 
 
 def _decode_cols_padded(
-    t: DecoderTables, llr_col: jnp.ndarray, iter_count: int, msg_dtype=jnp.float32
+    t: DecoderTables, llr_col: jnp.ndarray, iter_count: int,
+    msg_dtype=jnp.float32, cn_rule: str = "sumprod", alpha: float = 0.75,
 ) -> DecodeResult:
     """Slot-major core loop on column-major LLRs [num_col, B].
 
@@ -231,18 +286,24 @@ def _decode_cols_padded(
         conv_after = conv | ok
         # --- CN; v2c recomputed in place ---
         v2c_row = post_edge - c2v.astype(jnp.float32)
-        sign = jnp.where(v2c_row < 0, -1.0, 1.0)
-        mag = jnp.maximum(jnp.abs(v2c_row), _PHI_ARG_MIN)
-        ph = phi(mag)
-        if not regular:
-            sign = jnp.where(rmask > 0, sign, 1.0)
-            ph = ph * rmask
-        phi_sum = jnp.sum(ph, axis=0)  # [nr, B]
-        sign_prod = jnp.prod(sign, axis=0)
-        excl_phi = jnp.maximum(phi_sum[None, :, :] - ph, constants.SMALLEST_PROB)
-        excl_sign = sign_prod[None, :, :] * sign
-        c2v = (excl_sign * jnp.minimum(phi(excl_phi), llr_clip)).astype(msg_dtype)
-        ss_new = 0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum))
+        if cn_rule == "minsum":
+            c2v_new, ss_new = _cn_minsum(
+                v2c_row, None if regular else rmask, alpha, llr_clip
+            )
+            c2v = c2v_new.astype(msg_dtype)
+        else:
+            sign = jnp.where(v2c_row < 0, -1.0, 1.0)
+            mag = jnp.maximum(jnp.abs(v2c_row), _PHI_ARG_MIN)
+            ph = phi(mag)
+            if not regular:
+                sign = jnp.where(rmask > 0, sign, 1.0)
+                ph = ph * rmask
+            phi_sum = jnp.sum(ph, axis=0)  # [nr, B]
+            sign_prod = jnp.prod(sign, axis=0)
+            excl_phi = jnp.maximum(phi_sum[None, :, :] - ph, constants.SMALLEST_PROB)
+            excl_sign = sign_prod[None, :, :] * sign
+            c2v = (excl_sign * jnp.minimum(phi(excl_phi), llr_clip)).astype(msg_dtype)
+            ss_new = 0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum))
         ss = jnp.where(conv_after[None, :], ss, ss_new)
         return i + 1, c2v, cc_hat, conv_after, iters, ss
 
@@ -317,6 +378,8 @@ def flooding_decode_two_phase(
     phase1_iters: int = 12,
     tile: int = 128,
     msg_dtype=jnp.float32,
+    cn_rule: str = "sumprod",
+    alpha: float = 0.75,
 ) -> DecodeResult:
     """Exact two-phase flooding decode — bit-identical to
     :func:`flooding_decode_em`, usually several times cheaper.
@@ -340,10 +403,10 @@ def flooding_decode_two_phase(
     tile = min(max(8, tile), b)
     if tile >= b or phase1_iters >= iter_count:
         # tiny batches / budgets: compaction buys nothing, run single-phase
-        return flooding_decode_em(t, chan_llr, iter_count, msg_dtype)
+        return flooding_decode_em(t, chan_llr, iter_count, msg_dtype, cn_rule, alpha)
     llr_col = _insert_punct(t, chan_llr.astype(jnp.float32).T)
 
-    p1 = _decode_cols(t, llr_col, phase1_iters, msg_dtype)
+    p1 = _decode_cols(t, llr_col, phase1_iters, msg_dtype, cn_rule, alpha)
 
     # unconverged-first ordering; stable so tiles are deterministic
     order = jnp.argsort(p1.converged, stable=True)  # False (unconverged) first
@@ -357,7 +420,7 @@ def flooding_decode_two_phase(
         k, cc_hat, conv, iters, ss = state
         start = jnp.minimum(k * tile, b - tile)
         idx = jax.lax.dynamic_slice_in_dim(order, start, tile)  # [tile]
-        sub = _decode_cols(t, llr_col[:, idx], iter_count, msg_dtype)
+        sub = _decode_cols(t, llr_col[:, idx], iter_count, msg_dtype, cn_rule, alpha)
         cc_hat = cc_hat.at[:, idx].set(sub.cc_hat)
         conv = conv.at[idx].set(sub.converged)
         iters = iters.at[idx].set(sub.iters)

@@ -93,9 +93,12 @@ class ChainSpec:
     histogram: bool
     kmeans_iters: int = 20
     kmeans_anchor: str = "max"
-    # Final-decode schedule: "flooding" (reference parity) or
-    # "layered-minsum" (standard for 5G; decoder/minsum.py).  Ambiguity
-    # metrics always use the flooding decoder (soft-syndrome semantics).
+    # Final-decode schedule: "flooding" (reference parity),
+    # "layered-minsum" (standard for 5G; decoder/minsum.py — QC fast path),
+    # or "flooding-minsum" (min-sum CN rule on the flooding schedule;
+    # bp_em.py cn_rule — the transcendental-free option for non-QC codes
+    # like PEG8064).  Ambiguity metrics default to the flooding decoder
+    # (reference soft-syndrome semantics); see metric_schedule.
     schedule: str = "flooding"
     minsum_alpha: float = 0.75
     # BP message storage dtype: "float32" (reference-parity default) or
@@ -169,7 +172,7 @@ def build_chain_fn(
     encode = make_encoder(code, active=spec.encoder_active)
     map_bits = make_mapper(tables)
     demap = make_soft_demapper(tables)
-    if spec.schedule not in ("flooding", "layered-minsum"):
+    if spec.schedule not in ("flooding", "layered-minsum", "flooding-minsum"):
         raise ValueError(f"unknown schedule {spec.schedule!r}")
     if spec.dtype not in ("float32", "bfloat16"):
         raise ValueError(f"unknown tpu.dtype {spec.dtype!r}")
@@ -199,11 +202,18 @@ def build_chain_fn(
     use_ms_metric = (
         spec.metric_schedule == "match" and spec.schedule == "layered-minsum"
     )
-    mdecode = (
-        (lambda mt, llr, it: layered_minsum_decode(mt, llr, it, spec.minsum_alpha))
-        if use_ms_metric
-        else None
-    )
+    if use_ms_metric:
+        mdecode = lambda mt, llr, it: layered_minsum_decode(
+            mt, llr, it, spec.minsum_alpha
+        )
+    elif spec.metric_schedule == "match" and spec.schedule == "flooding-minsum":
+        from ..decoder.bp_em import flooding_decode_em
+
+        mdecode = lambda dt, llr, it: flooding_decode_em(
+            dt, llr, it, cn_rule="minsum", alpha=spec.minsum_alpha
+        )
+    else:
+        mdecode = None
     select = make_ambiguity_selector(
         code, tables, spec.metric_type, spec.metric_iter, decode=mdecode
     )
@@ -270,12 +280,18 @@ def build_chain_fn(
                 )
             else:
                 # exact two-phase flooding (bit-identical to the plain
-                # decoder; see decoder/bp_em.py)
+                # decoder; see decoder/bp_em.py).  "flooding-minsum" swaps
+                # in the min-sum CN rule — same schedule, no transcendentals.
                 res = flooding_decode_two_phase(
                     params.dec, chan_llr, spec.max_iter,
                     phase1_iters=spec.phase1_iters,
                     tile=spec.tile or max(8, batch // 8),
                     msg_dtype=msg_dtype,
+                    cn_rule=(
+                        "minsum" if spec.schedule == "flooding-minsum"
+                        else "sumprod"
+                    ),
+                    alpha=spec.minsum_alpha,
                 )
             uu_hat = res.uu_hat
             mean_iters = jnp.mean(res.iters.astype(jnp.float32))

@@ -230,3 +230,142 @@ def test_bfloat16_message_mode(assets):
         r2 = tp(t, llr, 50, 4, 8, jnp.bfloat16)
         np.testing.assert_array_equal(np.asarray(r1.cc_hat), np.asarray(r2.cc_hat))
         np.testing.assert_array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
+
+
+def _minsum_flood_oracle(code, llr_col, max_iter, alpha=0.75):
+    """Float64 numpy flooding min-sum (VN->hard->syndrome->CN order, output
+    freezing), one codeword — independent ground truth for
+    bp_em cn_rule="minsum".  Soft syndrome is the min-sum approximation
+    sigmoid(sign_prod * min1) from the PREVIOUS CN pass (frozen at
+    convergence), matching the sum-product core's freeze semantics."""
+    e = code.num_edges
+    nr, nc = code.num_row, code.num_col
+    edge_col = np.asarray(code.edge_col)
+    row_idx = np.asarray(code.row_edge_idx)  # [nr, drm], e = pad
+    row_mask = np.asarray(code.row_mask)
+    c2v = np.zeros(e + 1)
+    ss = np.ones(nr)
+    clip = float(constants.LLR_CLIP)
+    for it in range(1, max_iter + 1):
+        post = llr_col + np.bincount(edge_col, weights=c2v[:e], minlength=nc)
+        hard = (post <= 0).astype(np.int8)
+        hard_pad = np.concatenate([hard, [0]])
+        row_cols = np.asarray(code.row_edge_col)  # [nr, drm], nc = pad
+        bits = np.where(row_mask, hard_pad[np.minimum(row_cols, nc - 1)] * row_mask, 0)
+        parity = bits.sum(axis=1) % 2
+        if (parity == 0).all():
+            return hard, True, it, ss
+        v2c = post[np.minimum(edge_col, nc - 1)] - c2v[:e]
+        v2c_pad = np.concatenate([v2c, [0.0]])
+        vr = v2c_pad[row_idx]  # [nr, drm]
+        mag = np.where(row_mask, np.abs(vr), 1e30)
+        sign = np.where(row_mask & (vr < 0), -1.0, 1.0)
+        order = np.argsort(mag, axis=1)
+        min1 = np.take_along_axis(mag, order[:, :1], axis=1)[:, 0]
+        min2 = np.take_along_axis(mag, order[:, 1:2], axis=1)[:, 0]
+        arg1 = order[:, 0]
+        sign_prod = np.prod(sign, axis=1)
+        excl = np.where(
+            np.arange(row_mask.shape[1])[None, :] == arg1[:, None],
+            min2[:, None], min1[:, None],
+        )
+        new = alpha * sign_prod[:, None] * sign * np.minimum(excl, clip)
+        new = np.where(row_mask, new, 0.0)
+        flat_idx = row_idx.reshape(-1)
+        c2v[flat_idx] = new.reshape(-1)
+        c2v[e] = 0.0
+        ss = 1.0 / (1.0 + np.exp(-sign_prod * min1))
+    return hard, False, max_iter, ss
+
+
+def test_flooding_minsum_matches_oracle(ham):
+    """bp_em cn_rule="minsum" == the float64 flooding min-sum oracle, per
+    codeword (hard decisions, convergence, iteration counts, soft
+    syndrome).  Hamming(7,4) is irregular, so this pins the degree-class
+    core's min-sum branch."""
+    from kmldpc_tpu.decoder.bp_em import flooding_decode_em
+
+    rng = np.random.default_rng(11)
+    n_cases = 40
+    p0 = rng.uniform(0.05, 0.95, size=(n_cases, ham.num_col))
+    llr = _llr(p0)
+    t = DecoderTables.from_code(ham)
+    res = jax.jit(
+        lambda x: flooding_decode_em(t, x, 10, cn_rule="minsum", alpha=0.75)
+    )(jnp.asarray(llr, jnp.float32))
+    for i in range(n_cases):
+        cc_exp, conv_exp, iters_exp, ss_exp = _minsum_flood_oracle(ham, llr[i], 10)
+        np.testing.assert_array_equal(
+            np.asarray(res.cc_hat[i]), cc_exp, err_msg=f"case {i}"
+        )
+        assert bool(res.converged[i]) == conv_exp, f"case {i}"
+        assert int(res.iters[i]) == iters_exp, f"case {i}"
+        np.testing.assert_allclose(
+            np.asarray(res.soft_syndrome[i]), ss_exp, rtol=1e-4, atol=1e-5,
+            err_msg=f"case {i}",
+        )
+
+
+def test_flooding_minsum_regular_matches_oracle(assets):
+    """Same oracle pin for the REGULAR (padded slot-major) core's min-sum
+    branch, on PEG2304 with moderate noise."""
+    from kmldpc_tpu.decoder.bp_em import flooding_decode_em
+
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    t = DecoderTables.from_code(code)
+    assert t.is_regular
+    rng = np.random.default_rng(12)
+    b = 4
+    uu = rng.integers(0, 2, size=(b, code.code_dim)).astype(np.uint8)
+    cc = np.stack([code.encode_reference(u) for u in uu])
+    sig = 1 - 2 * cc.astype(np.float64)
+    llr = 4.0 * sig + rng.normal(scale=2.4, size=cc.shape)
+    res = jax.jit(
+        lambda x: flooding_decode_em(t, x, 15, cn_rule="minsum", alpha=0.75)
+    )(jnp.asarray(llr, jnp.float32))
+    for i in range(b):
+        cc_exp, conv_exp, iters_exp, ss_exp = _minsum_flood_oracle(code, llr[i], 15)
+        np.testing.assert_array_equal(
+            np.asarray(res.cc_hat[i]), cc_exp, err_msg=f"case {i}"
+        )
+        assert bool(res.converged[i]) == conv_exp, f"case {i}"
+        assert int(res.iters[i]) == iters_exp, f"case {i}"
+        np.testing.assert_allclose(
+            np.asarray(res.soft_syndrome[i]), ss_exp, rtol=1e-3, atol=1e-5,
+            err_msg=f"case {i}",
+        )
+
+
+def test_flooding_minsum_two_phase_identical(assets):
+    """Two-phase with the min-sum CN rule is bit-identical to single-phase
+    (the compaction argument holds for any deterministic decoder)."""
+    from kmldpc_tpu.decoder.bp_em import (
+        flooding_decode_em,
+        flooding_decode_two_phase,
+    )
+
+    code = load_code(str(assets / "5GLDPCBG2a3_R12_K960.txt"))
+    t = DecoderTables.from_code(code)
+    rng = np.random.default_rng(13)
+    b = 48
+    uu = rng.integers(0, 2, size=(b, code.code_dim)).astype(np.uint8)
+    cc = np.stack([code.encode_reference(u) for u in uu])
+    sig = 1 - 2 * cc[:, code.punct:].astype(np.float64)
+    llr = jnp.asarray(4.0 * sig + rng.normal(scale=2.6, size=sig.shape),
+                      jnp.float32)
+    r1 = jax.jit(
+        lambda x: flooding_decode_em(t, x, 40, cn_rule="minsum")
+    )(llr)
+    r2 = jax.jit(
+        lambda x: flooding_decode_two_phase(
+            t, x, 40, phase1_iters=6, tile=16, cn_rule="minsum"
+        )
+    )(llr)
+    np.testing.assert_array_equal(np.asarray(r1.cc_hat), np.asarray(r2.cc_hat))
+    np.testing.assert_array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
+    np.testing.assert_array_equal(
+        np.asarray(r1.converged), np.asarray(r2.converged)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r1.soft_syndrome), np.asarray(r2.soft_syndrome)
+    )

@@ -177,3 +177,31 @@ def test_minsum_two_phase_identical(code5g):
     np.testing.assert_array_equal(np.asarray(r1.cc_hat), np.asarray(r2.cc_hat))
     np.testing.assert_array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
     np.testing.assert_array_equal(np.asarray(r1.converged), np.asarray(r2.converged))
+
+
+def test_chain_flooding_minsum_schedule(assets):
+    """[tpu].schedule = "flooding-minsum": min-sum CN rule on the flooding
+    schedule (the transcendental-free option for non-QC codes, bp_em.py).
+    Known-h PEG2304 at high SNR must decode cleanly; the blind variant with
+    metric_schedule="match" runs its 4 metric decodes with the same rule."""
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    const = parse_constellation(str(assets / "4bit_16QAM_Gray.txt"))
+    spec = ChainSpec(
+        code=code, constellation=const, known_h=True, fading=True,
+        metric_type=False, metric_iter=5, max_iter=30,
+        encoder_active=True, histogram=False, schedule="flooding-minsum",
+    )
+    run = make_chunk_runner(spec, batch=16)
+    res = run(jax.random.key(4), np.float32(10 ** (-2.2)))  # 22 dB
+    assert int(res.tot_blk) == 16
+    assert int(res.err_blk) == 0, (int(res.err_blk), int(res.err_bit))
+
+    spec_b = ChainSpec(
+        code=code, constellation=const, known_h=False, fading=True,
+        metric_type=False, metric_iter=5, max_iter=30,
+        encoder_active=True, histogram=False, schedule="flooding-minsum",
+        metric_schedule="match",
+    )
+    run_b = make_chunk_runner(spec_b, batch=16)
+    res_b = run_b(jax.random.key(5), np.float32(10 ** (-2.4)))  # 24 dB
+    assert int(res_b.err_blk) == 0, (int(res_b.err_blk), int(res_b.err_bit))

@@ -30,6 +30,21 @@ sys.path.insert(0, HERE)
 
 ASSETS = os.path.join(HERE, "assets")
 
+# Incremental result sink: set from --json.  Every completed row is flushed
+# to disk immediately — on this relay a single program's first execution
+# can take minutes (and a run can hit its timeout mid-group), so results
+# must survive a partial run.
+_JSON_PATH: str | None = None
+
+
+def _save(results: dict) -> None:
+    if _JSON_PATH:
+        tmp = _JSON_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
+        os.replace(tmp, _JSON_PATH)
+
 
 def steady(fn, n1: int = 6, n2: int = 18) -> float:
     """Steady-state seconds per call via a two-point slope.
@@ -74,10 +89,13 @@ def bench_decoders(results: dict, batch: int = 1024, iters: int = 20) -> None:
     from kmldpc_tpu.decoder.minsum import layered_minsum_decode, minsum_tables
 
     base_key = jax.random.key(7)
+    # Most-important-first: on the slow-relay days a run may not finish
+    # (first execution of one program can take minutes), and PEG8064
+    # carries the new flooding-minsum row.
     for name, fname in [
-        ("PEG2304", "PEG2304regular0.5.txt"),
-        ("5G-BG2-K960", "5GLDPCBG2a3_R12_K960.txt"),
         ("PEG8064", "PEG8064regular0.5.txt"),
+        ("5G-BG2-K960", "5GLDPCBG2a3_R12_K960.txt"),
+        ("PEG2304", "PEG2304regular0.5.txt"),
     ]:
         code = load_code(os.path.join(ASSETS, fname))
         dt = DecoderTables.from_code(code)
@@ -109,11 +127,18 @@ def bench_decoders(results: dict, batch: int = 1024, iters: int = 20) -> None:
                 layered_minsum_decode(t, llr_of(i), iters, 0.75)
             )
         )
+        fms = jax.jit(
+            lambda t, i: (lambda r: (r.iters.sum(), r))(
+                flooding_decode_em(t, llr_of(i), iters, cn_rule="minsum")
+            )
+        )
         rows = [
             ("flooding", flood, dt),
             # the production layout (slot-major / degree-class core used by
             # the chain's two-phase path)
             ("flooding[em]", flood_em, dt),
+            # min-sum CN rule on the flooding schedule (no transcendentals)
+            ("flooding-minsum[em]", fms, dt),
             (f"minsum[{'qc' if mt.qc else 'generic'}]", ms, mt),
         ]
         if mt.qc is not None:
@@ -126,6 +151,7 @@ def bench_decoders(results: dict, batch: int = 1024, iters: int = 20) -> None:
             key = f"decoder/{name}/{label}"
             results[key] = {"us_per_iter": round(us_per_iter, 1),
                             "batch": batch, "iters": iters}
+            _save(results)
             print(f"{key}: {us_per_iter:.0f} us/iter "
                   f"({sec*1e3:.2f} ms / {iters} iters, B={batch})", file=sys.stderr)
 
@@ -182,6 +208,7 @@ def bench_kmeans(results: dict, batch: int = 1024, nsym: int = 1152) -> None:
             key = f"kmeans/{cname}/{impl}"
             results[key] = {"us_per_call": round(sec * 1e6, 1),
                             "batch": batch, "nsym": n}
+            _save(results)
             print(f"{key}: {sec*1e6:.0f} us/call (B={batch}, {n} sym)",
                   file=sys.stderr)
 
@@ -189,6 +216,32 @@ def bench_kmeans(results: dict, batch: int = 1024, nsym: int = 1152) -> None:
 CHAIN_ROWS = [
     # (label, code, const, known_h, schedule, metric_type, snr, batch, cpl,
     #  extra ChainSpec kwargs)
+    # Most-important-first: new/changed rows lead so a timeout-truncated run
+    # still measures them (results flush incrementally — see _save).
+    # min-sum CN rule on the flooding schedule — the compute lever the
+    # PEG8064 roofline analysis identifies (no transcendental phi passes);
+    # statistical parity only
+    ("PEG8064+64QAM/known/fminsum", "PEG8064regular0.5.txt",
+     "6bits_64QAM_Gray.txt", True, "flooding-minsum", False, 18.0, 1024, 1, {}),
+    # batch 1024: measured 2.1-2.7x over batch 256 (the decoder while-loop
+    # amortizes per-launch and per-iteration fixed cost over more lanes)
+    ("PEG8064+64QAM/known", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
+     True, "flooding", False, 18.0, 1024, 1, {}),
+    ("PEG8064+64QAM/blind/fminsum", "PEG8064regular0.5.txt",
+     "6bits_64QAM_Gray.txt", False, "flooding-minsum", False, 18.0, 1024, 1,
+     {"metric_schedule": "match"}),
+    ("PEG8064+64QAM/blind", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
+     False, "flooding", False, 18.0, 1024, 1, {}),
+    # metric_schedule="match": the 4 candidate metric decodes use the QC
+    # min-sum fast path too (opt-in extension; the default metric decode
+    # stays flooding for reference parity)
+    ("5G+16QAM/blind/hard/minsum", "5GLDPCBG2a3_R12_K960.txt",
+     "4bit_16QAM_Gray.txt", False, "layered-minsum", False, 18.0, 1024, 4,
+     {"metric_schedule": "match"}),
+    # opt-in bfloat16 message storage — the HBM-bandwidth lever for the same
+    # roofline; statistical parity only
+    ("PEG8064+64QAM/known/bf16", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
+     True, "flooding", False, 18.0, 1024, 1, {"dtype": "bfloat16"}),
     ("PEG2304+QPSK/blind", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
      False, "flooding", False, 15.0, 1024, 16, {}),
     ("PEG2304+QPSK/known", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
@@ -199,22 +252,6 @@ CHAIN_ROWS = [
      True, "layered-minsum", False, 18.0, 1024, 4, {}),
     ("5G+16QAM/blind/hard", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
      False, "flooding", False, 18.0, 1024, 4, {}),
-    # metric_schedule="match": the 4 candidate metric decodes use the QC
-    # min-sum fast path too (opt-in extension; the default metric decode
-    # stays flooding for reference parity)
-    ("5G+16QAM/blind/hard/minsum", "5GLDPCBG2a3_R12_K960.txt",
-     "4bit_16QAM_Gray.txt", False, "layered-minsum", False, 18.0, 1024, 4,
-     {"metric_schedule": "match"}),
-    # batch 1024: measured 2.1-2.7x over batch 256 (the decoder while-loop
-    # amortizes per-launch and per-iteration fixed cost over more lanes)
-    ("PEG8064+64QAM/known", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     True, "flooding", False, 18.0, 1024, 1, {}),
-    ("PEG8064+64QAM/blind", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     False, "flooding", False, 18.0, 1024, 1, {}),
-    # opt-in bfloat16 message storage — the HBM-bandwidth lever the PEG8064
-    # roofline analysis identifies (RESULTS.md); statistical parity only
-    ("PEG8064+64QAM/known/bf16", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     True, "flooding", False, 18.0, 1024, 1, {"dtype": "bfloat16"}),
 ]
 
 
@@ -248,6 +285,7 @@ def bench_chain(results: dict, only: str | None = None) -> None:
             "info_bits_per_s": round(blk_s * code.code_dim, 1),
             "batch": batch, "chunks_per_launch": cpl, "snr_db": snr,
         }
+        _save(results)
         print(f"chain/{label}: {blk_s:,.0f} blk/s "
               f"({sec/cpl*1e3:.2f} ms/chunk, B={batch} cpl={cpl})", file=sys.stderr)
 
@@ -292,6 +330,8 @@ def main() -> None:
                          "to report per-row changes against")
     args = ap.parse_args()
     groups = args.groups or ["decoder", "kmeans", "chain"]
+    global _JSON_PATH
+    _JSON_PATH = args.json
 
     import jax
 
@@ -309,9 +349,7 @@ def main() -> None:
         else:
             raise SystemExit(f"unknown group {g!r}")
     out = json.dumps(results, indent=1)
-    if args.json:
-        with open(args.json, "w") as f:
-            f.write(out + "\n")
+    _save(results)
     if args.diff:
         diff_against(results, args.diff)
     print(out)
