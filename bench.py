@@ -69,18 +69,26 @@ def measure(runner, key, var, steps: int = 12) -> float:
 
 
 # (row key, code file, constellation file, known_h, schedule, snr_dB,
-#  batch, chunks_per_launch) — mirrors RESULTS.md / microbench CHAIN_ROWS.
+#  batch, chunks_per_launch, extra ChainSpec kwargs) — mirrors RESULTS.md /
+#  microbench CHAIN_ROWS.
 ROWS = [
     ("blind/PEG2304+QPSK", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
-     False, "flooding", 15.0, None, None),
+     False, "flooding", 15.0, None, None, {}),
     ("known/PEG2304+QPSK", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
-     True, "flooding", 15.0, None, None),
+     True, "flooding", 15.0, None, None, {}),
     ("known/5G+16QAM/minsum", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
-     True, "layered-minsum", 18.0, 1024, 4),
+     True, "layered-minsum", 18.0, 1024, 4, {}),
+    # full min-sum blind mode: metric decodes matched to the QC fast path
+    ("blind/5G+16QAM/minsum", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
+     False, "layered-minsum", 18.0, 1024, 4, {"metric_schedule": "match"}),
     ("known/5G+16QAM/flooding", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
-     True, "flooding", 18.0, 1024, 4),
+     True, "flooding", 18.0, 1024, 4, {}),
     ("blind/PEG8064+64QAM", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     False, "flooding", 18.0, 1024, 1),
+     False, "flooding", 18.0, 1024, 1, {}),
+    # min-sum CN rule on the flooding schedule (PARITY.md sweep 8)
+    ("blind/PEG8064+64QAM/fminsum", "PEG8064regular0.5.txt",
+     "6bits_64QAM_Gray.txt", False, "flooding-minsum", 18.0, 1024, 1,
+     {"metric_schedule": "match"}),
 ]
 
 
@@ -109,7 +117,8 @@ def main() -> None:
 
     rows_out: dict = {"device": str(dev)}
     headline_bits = None
-    for i, (name, cfile, mfile, known, sched, snr, batch, cpl) in enumerate(ROWS):
+    for i, (name, cfile, mfile, known, sched, snr, batch, cpl,
+            extra) in enumerate(ROWS):
         batch = batch or batch_env
         cpl = cpl or cpl_env
         # The first two rows are mandatory (headline + its known-h A/B);
@@ -125,6 +134,7 @@ def main() -> None:
             code=code, constellation=const, known_h=known, fading=True,
             metric_type=False, metric_iter=5, max_iter=50,
             encoder_active=True, histogram=False, schedule=sched, dtype=dtype,
+            **extra,
         )
         runner = make_chunk_runner(spec, batch, cpl)
         var = np.float32(10.0 ** (-0.1 * snr))
