@@ -242,6 +242,14 @@ CHAIN_ROWS = [
     # roofline; statistical parity only
     ("PEG8064+64QAM/known/bf16", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
      True, "flooding", False, 18.0, 1024, 1, {"dtype": "bfloat16"}),
+    # flooding min-sum on the classic PEG2304 chain: the decoder bench
+    # shows this core compute-bound (250 -> 152 us/iter), so unlike PEG8064
+    # the rule should pay at full batch too
+    ("PEG2304+QPSK/blind/fminsum", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
+     False, "flooding-minsum", False, 15.0, 1024, 16,
+     {"metric_schedule": "match"}),
+    ("PEG2304+QPSK/known/fminsum", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
+     True, "flooding-minsum", False, 15.0, 1024, 16, {}),
     ("PEG2304+QPSK/blind", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
      False, "flooding", False, 15.0, 1024, 16, {}),
     ("PEG2304+QPSK/known", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
