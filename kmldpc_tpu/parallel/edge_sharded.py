@@ -1,0 +1,202 @@
+"""Edge-sharded flooding BP: the message state partitioned over the mesh.
+
+SURVEY.md §2 (parallelism table): the reference is a CPU simulator with no
+tensor partitioning anywhere; the TPU-native analogue of "scaling a long
+sequence" is sharding the Monte-Carlo batch (parallel/sharding.py) **and,
+for the huge PEG8064 code, sharding the BP messages over the edge
+dimension**.  This module is that second axis — model parallelism for the
+decoder itself:
+
+* Check-node rows (and therefore their edges) are partitioned into
+  contiguous slabs over a ``model`` mesh axis: device d owns
+  ``c2v[d]: [drm, nr/D, B]`` — for PEG8064 at B=1024 f32 that is 99 MB of
+  message state split D ways, so codes (or batches) whose message state
+  exceeds one chip's HBM decode without spilling.
+* Per iteration exactly ONE collective runs: each device scatter-adds its
+  local check-to-variable messages into a partial column-sum ``[nc, B]``
+  and a ``psum`` over the ``model`` axis materializes the full variable-
+  node posterior on every device (33 MB for PEG8064 at B=1024 — rides ICI,
+  not HBM).  Everything else (hard decision, local syndrome slab, CN
+  update with either CN rule) is device-local.
+* The iteration order, 1e-12 clip, per-codeword convergence freezing, and
+  both CN rules ("sumprod" Gallager-phi / "minsum") match the single-chip
+  cores (decoder/bp_em.py; reference semantics binaryldpccodec.cc:164-278).
+  Outputs are decision-identical to the single-chip decoder in practice
+  but not bit-pinned: the posterior's column sums accumulate in psum order
+  instead of slot order, an f32 reordering of the same values (the
+  single-chip path remains the bit-pinned-to-oracle one; tests assert
+  exact decision/convergence/iteration agreement on fixed seeds).
+
+Like the reference's thread pool (but unlike its mutexed counters), the
+partitioning is invisible to the caller: ``make_edge_sharded_decoder``
+returns a ``decode(chan_llr, iter_count) -> DecodeResult`` with the same
+interface as ``flooding_decode_em``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import constants
+from ..code.ldpc import LDPCCode
+from ..decoder.bp import DecodeResult, DecoderTables, phi
+
+_PHI_ARG_MIN = 1e-6
+
+
+def _row_slab_tables(t: DecoderTables, ndev: int):
+    """Host-side row-slab tables, padded so ``num_row`` divides the mesh.
+
+    Returns (row_col [nr_pad, drm] int32 with nc = pad, rmask [nr_pad, drm]
+    f32, nr_pad).  Pad rows are all-pad slots: they gather the +1.0 pad
+    posterior row (never trips the syndrome) and write zero messages.
+    """
+    row_col = np.asarray(t.row_edge_col)  # [nr, drm], nc = pad
+    rmask = np.asarray(t.row_mask_sm).T  # [nr, drm]
+    nr, drm = row_col.shape
+    nr_pad = -(-nr // ndev) * ndev
+    if nr_pad != nr:
+        pad = nr_pad - nr
+        row_col = np.concatenate(
+            [row_col, np.full((pad, drm), t.num_col, np.int32)], axis=0
+        )
+        rmask = np.concatenate([rmask, np.zeros((pad, drm), np.float32)], axis=0)
+    return (
+        jnp.asarray(row_col, jnp.int32),
+        jnp.asarray(rmask, jnp.float32),
+        nr_pad,
+    )
+
+
+def make_edge_sharded_decoder(
+    code: LDPCCode,
+    mesh: Mesh,
+    axis: str = "model",
+    cn_rule: str = "sumprod",
+    alpha: float = 0.75,
+) -> Callable[[jnp.ndarray, int], DecodeResult]:
+    """Row-sharded flooding decoder over ``mesh``'s ``axis``.
+
+    ``decode(chan_llr [B, tx], iter_count) -> DecodeResult`` — same
+    interface and semantics as ``bp_em.flooding_decode_em`` (puncture
+    prior-insertion included), message state sharded over the mesh.
+    """
+    if cn_rule not in ("sumprod", "minsum"):
+        raise ValueError(f"unknown cn_rule {cn_rule!r}")
+    t = DecoderTables.from_code(code)
+    ndev = int(np.prod([s for n, s in zip(mesh.axis_names, mesh.devices.shape)
+                        if n == axis]))
+    row_col_all, rmask_all, nr_pad = _row_slab_tables(t, ndev)
+    nc, nr = t.num_col, t.num_row
+    llr_clip = jnp.float32(constants.LLR_CLIP)
+    alpha_f = jnp.float32(alpha)
+
+    def device_decode(row_col, rmask, llr_col, iter_count):
+        """One device's slab. row_col/rmask: [nrD, drm]; llr_col: [nc, B]
+        replicated."""
+        nrD, drm = row_col.shape
+        b = llr_col.shape[1]
+        # slot-major within the slab: [drm, nrD]
+        cols_sm = row_col.T.reshape(-1)  # [drm * nrD], nc = pad
+        rmask_sm = rmask.T[:, :, None]  # [drm, nrD, 1]
+
+        def body(state):
+            i, c2v, cc_hat, conv, iters, ss = state  # c2v [drm, nrD, B]
+            # --- partial column sums + ONE psum -> full posterior ---
+            partial = jnp.zeros((nc + 1, b), jnp.float32).at[cols_sm].add(
+                c2v.reshape(-1, b)
+            )
+            colsum = jax.lax.psum(partial[:nc], axis)
+            post = llr_col + colsum  # [nc, B] replicated
+            hard = (post <= 0).astype(jnp.int8)
+            cc_hat = jnp.where(conv[None, :], cc_hat, hard)
+            # --- local syndrome slab; global AND via psum of unsat counts ---
+            post_pad = jnp.concatenate([post, jnp.ones((1, b), jnp.float32)], 0)
+            post_edge = post_pad[cols_sm].reshape(drm, nrD, b)
+            parity = jnp.sum((post_edge <= 0).astype(jnp.int32), axis=0) % 2
+            unsat = jax.lax.psum(jnp.sum(parity, axis=0), axis)  # [B]
+            ok = unsat == 0
+            iters = iters + (~conv).astype(jnp.int32)
+            conv_after = conv | ok
+            # --- local CN update (both rules; pad slots write 0) ---
+            v2c = post_edge - c2v
+            if cn_rule == "minsum":
+                big = jnp.float32(1e30)
+                sign = jnp.where(v2c < 0, -1.0, 1.0)
+                sign = jnp.where(rmask_sm > 0, sign, 1.0)
+                mag = jnp.where(rmask_sm > 0, jnp.abs(v2c), big)
+                min1 = jnp.min(mag, axis=0)
+                arg1 = jnp.argmin(mag, axis=0)
+                onehot = arg1[None] == jnp.arange(drm)[:, None, None]
+                min2 = jnp.min(jnp.where(onehot, big, mag), axis=0)
+                excl_min = jnp.where(onehot, min2[None], min1[None])
+                sign_prod = jnp.prod(sign, axis=0)
+                c2v_new = alpha_f * sign_prod[None] * sign * jnp.minimum(
+                    excl_min, llr_clip
+                )
+                ss_new = jax.nn.sigmoid(sign_prod * min1)
+            else:
+                sign = jnp.where(v2c < 0, -1.0, 1.0)
+                sign = jnp.where(rmask_sm > 0, sign, 1.0)
+                mag = jnp.maximum(jnp.abs(v2c), _PHI_ARG_MIN)
+                ph = phi(mag) * rmask_sm
+                phi_sum = jnp.sum(ph, axis=0)
+                sign_prod = jnp.prod(sign, axis=0)
+                excl_phi = jnp.maximum(
+                    phi_sum[None] - ph, constants.SMALLEST_PROB
+                )
+                c2v_new = sign_prod[None] * sign * jnp.minimum(
+                    phi(excl_phi), llr_clip
+                )
+                ss_new = 0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum))
+            c2v = c2v_new * rmask_sm
+            ss = jnp.where(conv_after[None, :], ss, ss_new)
+            return i + 1, c2v, cc_hat, conv_after, iters, ss
+
+        def cond(state):
+            i, _, _, conv, _, _ = state
+            return jnp.logical_and(i < iter_count, ~jnp.all(conv))
+
+        state = (
+            jnp.int32(0),
+            jnp.zeros((drm, nrD, b), jnp.float32),
+            jnp.zeros((nc, b), jnp.int8),
+            jnp.zeros((b,), bool),
+            jnp.zeros((b,), jnp.int32),
+            jnp.ones((nrD, b), jnp.float32),
+        )
+        _, _, cc_hat, conv, iters, ss = jax.lax.while_loop(cond, body, state)
+        return cc_hat, conv, iters, ss
+
+    def sharded_fn(row_col, rmask, llr_col, iter_count):
+        return jax.shard_map(
+            lambda rc, rm, llr: device_decode(rc, rm, llr, iter_count),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P()),
+            out_specs=(P(), P(), P(), P(axis)),
+            # same zeros-meet-sharded while_loop carry issue as
+            # make_sharded_chunk_runner
+            check_vma=False,
+        )(row_col, rmask, llr_col)
+
+    jitted = jax.jit(sharded_fn, static_argnums=3)
+
+    def decode(chan_llr: jnp.ndarray, iter_count: int) -> DecodeResult:
+        llr_tx = jnp.asarray(chan_llr, jnp.float32).T  # [tx, B]
+        if t.punct:
+            b = llr_tx.shape[1]
+            llr_tx = jnp.concatenate(
+                [jnp.zeros((t.punct, b), jnp.float32), llr_tx], axis=0
+            )
+        cc_hat, conv, iters, ss = jitted(row_col_all, rmask_all, llr_tx, iter_count)
+        uu_hat = jax.lax.dynamic_slice_in_dim(cc_hat, t.info_start, t.code_dim, 0)
+        return DecodeResult(uu_hat.T, cc_hat.T, conv, iters, ss[:nr].T)
+
+    decode.tables = t  # type: ignore[attr-defined]
+    decode.num_shards = ndev  # type: ignore[attr-defined]
+    return decode
