@@ -153,3 +153,67 @@ def test_two_process_sweep_error_cap_stop(tmp_path):
     assert len(sweeps) == 1, sweeps  # identical counters in both processes
     points = sweeps.pop().split(" ", 1)[1].split(";")
     assert len(points) == 2  # -2 and 0 dB
+
+
+_EDGE_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, sys.argv[3])
+    os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:" + sys.argv[2]
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = sys.argv[1]
+    from kmldpc_tpu.parallel.distributed import maybe_initialize
+    assert maybe_initialize(), "expected multi-process"
+    import jax, numpy as np
+    from jax.sharding import Mesh
+    assert jax.process_count() == 2 and len(jax.devices()) == 4
+    root = sys.argv[3]
+    from kmldpc_tpu.code import load_code
+    from kmldpc_tpu.parallel.edge_sharded import make_edge_sharded_decoder
+    code = load_code(os.path.join(root, "assets", "PEG2304regular0.5.txt"))
+    # mesh spans BOTH processes: the per-iteration posterior psum rides the
+    # cross-process Gloo backend (DCN stand-in)
+    mesh = Mesh(np.asarray(jax.devices()), ("model",))
+    dec = make_edge_sharded_decoder(code, mesh)
+    assert dec.num_shards == 4
+    rng = np.random.default_rng(1)
+    uu = rng.integers(0, 2, size=(4, code.code_dim)).astype(np.uint8)
+    cc = np.stack([code.encode_reference(u) for u in uu])
+    llr = np.where(cc == 0, 12.0, -12.0).astype(np.float32)
+    r = dec(jax.numpy.asarray(llr), 10)
+    # uu_hat / converged are replicated -> readable in every process
+    assert np.array_equal(np.asarray(r.uu_hat), uu)
+    assert np.asarray(r.converged).all()
+    print("EDGE " + str(int(np.asarray(r.iters).sum())), flush=True)
+    """
+)
+
+
+def test_two_process_edge_sharded_decode(tmp_path):
+    """Edge-sharded BP across TWO processes: the message state spans the
+    cross-process mesh and each iteration's posterior psum runs over the
+    Gloo collective backend (the DCN stand-in).  Both processes must
+    decode a noiseless batch to BER 0 and agree on the replicated
+    outputs."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "edge_worker.py"
+    worker.write_text(_EDGE_WORKER)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if "axon" not in v.lower()}
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), port, root],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=220)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    digests = {line for o in outs for line in o.splitlines() if line.startswith("EDGE")}
+    assert len(digests) == 1, digests
