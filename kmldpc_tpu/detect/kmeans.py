@@ -21,8 +21,20 @@ Reference quirks NOT replicated (SURVEY.md section 7 "known quirks"):
   (kmeans.cc:65-68), so ``maxIndex`` collapses to 0 and the de-facto anchor
   is always cluster 0.  We default to the *intended* max-|centroid| anchor
   (``anchor="max"``) and provide ``anchor="first"`` for bit-level mimicry of
-  the de-facto behavior.  Either way the reference divides the anchor
-  centroid by s_0 — replicated as-is.
+  the de-facto behavior.
+* The reference divides the anchor centroid by ``constellations_[0]``
+  UNCONDITIONALLY (kmeans.cc:25,73) — scale-correct only when s_0 is
+  itself a maximum-modulus point.  That holds for the corner-first tables
+  (QPSK/Gray-16QAM/64QAM: s_0 is a corner, and any max-modulus anchor is a
+  π/2 rotation of it, absorbed by the 4-candidate resolution) but BREAKS
+  for the phi1/phi2 16QAM tables whose row 0 is an inner point: ĥ
+  converges 3× too large and blind detection fails outright (verified:
+  the C++ code has the same /s_0 in both init and re-projection).  In
+  "max" mode we therefore divide the anchored centroid by its OWN
+  constellation point s_{k*} (and the init outlier by the max-modulus
+  point) — identical behavior up to an exact π/2 rotation on corner-first
+  tables, and correct for any table order.  "first" keeps the verbatim
+  de-facto /s_0 behavior.
 * Convergence break on exact cluster equality (kmeans.cc:47-54) is dropped:
   we always run the fixed ``iters`` budget (converged batches are
   idempotent), which keeps the batched program shape static.
@@ -61,16 +73,25 @@ def make_blind_estimator(
     m = sr.shape[0]
     s0_r, s0_i = sr[0], si[0]
     s0_norm = s0_r * s0_r + s0_i * s0_i
+    # init anchor: the max-modulus constellation point (= s_0 on the
+    # corner-first tables; the module docstring explains why not plain s_0)
+    import numpy as _np
+
+    mstar = int(_np.argmax(_np.asarray(sr) ** 2 + _np.asarray(si) ** 2))
+    init_idx = 0 if anchor == "first" else mstar
+    sI_r, sI_i = sr[init_idx], si[init_idx]
+    sI_norm = sI_r * sI_r + sI_i * sI_i
 
     def estimate(yr: jnp.ndarray, yi: jnp.ndarray):
-        # --- init: point farthest from the origin, anchored to s_0 ---
+        # --- init: point farthest from the origin, anchored to the
+        # max-modulus constellation point ---
         mag2 = yr * yr + yi * yi
         jstar = jnp.argmax(mag2, axis=1)  # [B]
         ymax_r = jnp.take_along_axis(yr, jstar[:, None], axis=1)[:, 0]
         ymax_i = jnp.take_along_axis(yi, jstar[:, None], axis=1)[:, 0]
-        # ĥ = y_max / s_0 (complex division)
-        h_r = (ymax_r * s0_r + ymax_i * s0_i) / s0_norm
-        h_i = (ymax_i * s0_r - ymax_r * s0_i) / s0_norm
+        # ĥ = y_max / s_init (complex division)
+        h_r = (ymax_r * sI_r + ymax_i * sI_i) / sI_norm
+        h_i = (ymax_i * sI_r - ymax_r * sI_i) / sI_norm
 
         def body(_, h):
             h_r, h_i = h
@@ -90,15 +111,22 @@ def make_blind_estimator(
             cent_i = sum_i / safe
             if anchor == "first":
                 k = jnp.zeros(yr.shape[0], dtype=jnp.int32)
+                # de-facto reference: cluster 0 / s_0 (kmeans.cc:65-73)
+                sk_r = jnp.full_like(cent_r[:, 0], s0_r)
+                sk_i = jnp.full_like(cent_i[:, 0], s0_i)
             else:
                 cmag = jnp.where(counts > 0, cent_r**2 + cent_i**2, -1.0)
                 k = jnp.argmax(cmag, axis=1)
+                # intended semantics: the anchored centroid estimates
+                # h·s_{k*}, so divide by its OWN constellation point
+                sk_r = sr[k]
+                sk_i = si[k]
             a_r = jnp.take_along_axis(cent_r, k[:, None], axis=1)[:, 0]
             a_i = jnp.take_along_axis(cent_i, k[:, None], axis=1)[:, 0]
             a_cnt = jnp.take_along_axis(counts, k[:, None], axis=1)[:, 0]
-            # ĥ ← anchor_centroid / s_0 (reference always divides by s_0)
-            new_r = (a_r * s0_r + a_i * s0_i) / s0_norm
-            new_i = (a_i * s0_r - a_r * s0_i) / s0_norm
+            sk_norm = sk_r * sk_r + sk_i * sk_i
+            new_r = (a_r * sk_r + a_i * sk_i) / sk_norm
+            new_i = (a_i * sk_r - a_r * sk_i) / sk_norm
             keep = a_cnt > 0
             return jnp.where(keep, new_r, h_r), jnp.where(keep, new_i, h_i)
 

@@ -65,12 +65,18 @@ def _kmeans_kernel(yr_ref, yi_ref, hr_ref, hi_ref, *,
     m_points = len(sr)
     s0_r, s0_i = sr[0], si[0]
     s0_norm = s0_r * s0_r + s0_i * s0_i
+    # init anchor: max-modulus constellation point for "max" mode (= s_0 on
+    # corner-first tables), verbatim s_0 for "first" — see detect/kmeans.py
+    # docstring on the reference's unconditional /s_0 scale bug
+    mstar = max(range(m_points), key=lambda j: sr[j] * sr[j] + si[j] * si[j])
+    init_idx = 0 if anchor == "first" else mstar
+    sI_r, sI_i = sr[init_idx], si[init_idx]
+    sI_norm = sI_r * sI_r + sI_i * sI_i
     yr = yr_ref[:]  # [TB, S]
     yi = yi_ref[:]
     tb, s = yr.shape
 
-    # --- init: point with max |y| (first index on ties, like argmax),
-    # anchored to s0 (kmeans.cc:17-27) ---
+    # --- init: point with max |y| (first index on ties, like argmax) ---
     mag2 = yr * yr + yi * yi
     best0 = jnp.max(mag2, axis=1, keepdims=True)
     col = jax.lax.broadcasted_iota(jnp.int32, (tb, s), 1)
@@ -78,8 +84,8 @@ def _kmeans_kernel(yr_ref, yi_ref, hr_ref, hi_ref, *,
     sel = col == pick
     ymax_r = jnp.sum(jnp.where(sel, yr, 0.0), axis=1)  # [TB]
     ymax_i = jnp.sum(jnp.where(sel, yi, 0.0), axis=1)
-    h_r0 = (ymax_r * s0_r + ymax_i * s0_i) / s0_norm
-    h_i0 = (ymax_i * s0_r - ymax_r * s0_i) / s0_norm
+    h_r0 = (ymax_r * sI_r + ymax_i * sI_i) / sI_norm
+    h_i0 = (ymax_i * sI_r - ymax_r * sI_i) / sI_norm
 
     def body(_, h):
         h_r, h_i = h  # [TB]
@@ -109,6 +115,9 @@ def _kmeans_kernel(yr_ref, yi_ref, hr_ref, hi_ref, *,
         cent_i = jnp.stack(sums_i, axis=1) / safe
         if anchor == "first":
             a_r, a_i, a_cnt = cent_r[:, 0], cent_i[:, 0], counts[:, 0]
+            # de-facto reference: cluster 0 / s_0 (kmeans.cc:65-73)
+            sk_r = jnp.full((tb,), s0_r, jnp.float32)
+            sk_i = jnp.full((tb,), s0_i, jnp.float32)
         else:
             cmag = jnp.where(counts > 0, cent_r * cent_r + cent_i * cent_i, -1.0)
             cbest = jnp.max(cmag, axis=1, keepdims=True)
@@ -120,10 +129,20 @@ def _kmeans_kernel(yr_ref, yi_ref, hr_ref, hi_ref, *,
             a_r = jnp.sum(jnp.where(msel, cent_r, 0.0), axis=1)
             a_i = jnp.sum(jnp.where(msel, cent_i, 0.0), axis=1)
             a_cnt = jnp.sum(jnp.where(msel, counts, 0.0), axis=1)
-        # re-projection hhat <- anchor centroid / s0 (kmeans.cc:64-74);
-        # empty anchor keeps the previous gain (documented divergence)
-        new_r = (a_r * s0_r + a_i * s0_i) / s0_norm
-        new_i = (a_i * s0_r - a_r * s0_i) / s0_norm
+            # intended semantics: divide the anchored centroid by its OWN
+            # constellation point (see detect/kmeans.py); unrolled scalar
+            # selects — pallas kernels cannot capture constant arrays
+            sk_r = jnp.zeros((tb,), jnp.float32)
+            sk_i = jnp.zeros((tb,), jnp.float32)
+            for m in range(m_points):
+                sel_m = msel[:, m]
+                sk_r = jnp.where(sel_m, sr[m], sk_r)
+                sk_i = jnp.where(sel_m, si[m], sk_i)
+        # re-projection hhat <- anchor centroid / s_anchor; empty anchor
+        # keeps the previous gain (documented divergence)
+        sk_norm = sk_r * sk_r + sk_i * sk_i
+        new_r = (a_r * sk_r + a_i * sk_i) / sk_norm
+        new_i = (a_i * sk_r - a_r * sk_i) / sk_norm
         keep = a_cnt > 0
         return jnp.where(keep, new_r, h_r), jnp.where(keep, new_i, h_i)
 

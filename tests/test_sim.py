@@ -375,3 +375,24 @@ def test_parity_sweep_configs_load_and_trace():
         fn = build_chain_fn(spec, batch=4)
         out = jax.eval_shape(fn, params, jax.random.key(0), np.float32(0.1))
         assert out.tot_blk.shape == ()
+
+
+def test_chain_rotated_16qam_labelings(assets):
+    """The phi1/phi2 16QAM tables (inner-point-first row order) decode
+    BLIND at high SNR.  This pins the anchor-scale fix in detect/kmeans.py:
+    the reference divides its k-means anchor by constellations_[0]
+    unconditionally (kmeans.cc:25,73), which breaks blind mode for any
+    table whose row 0 is not a max-modulus point — with the old /s_0 the
+    estimate converged 3x too large and ALL 8 blocks failed here."""
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    for fname in ("4bit_16QAM_phi1.txt", "4bit_16QAM_phi2.txt"):
+        const = parse_constellation(str(assets / fname))
+        spec = ChainSpec(
+            code=code, constellation=const, known_h=False, fading=True,
+            metric_type=False, metric_iter=5, max_iter=30,
+            encoder_active=True, histogram=False,
+        )
+        run = make_chunk_runner(spec, batch=8)
+        res = run(jax.random.key(6), np.float32(10 ** (-2.4)))  # 24 dB
+        assert int(res.tot_blk) == 8
+        assert int(res.err_blk) == 0, (fname, int(res.err_blk))
