@@ -25,10 +25,12 @@ once — compile time no longer scales with ``iters``), and no pallas_call
 ever sits in a traced loop, so the M <= 4 gate is gone.
 
 Reference semantics preserved (kmeans.cc:14-84, intended form — see
-detect/kmeans.py for the documented quirk divergences): max-|y| init
-anchored to s0, nearest-cluster assignment with first-minimum ties,
-count-0-safe centroid, "max" (or "first") anchor re-projection through s0,
-empty-anchor keeps the previous gain.
+detect/kmeans.py for the documented quirk divergences, including the
+anchor-scale fix: the anchored centroid divides by its OWN constellation
+point, not unconditionally by s0): max-|y| init anchored to the
+max-modulus point, nearest-cluster assignment with first-minimum ties,
+count-0-safe centroid, "max" (or verbatim de-facto "first") anchor
+re-projection, empty-anchor keeps the previous gain.
 
 The constellation is baked into the kernel as scalar constants (M <= 64
 floats) — no operand, no broadcast.
