@@ -132,12 +132,16 @@ def _kmeans_kernel(yr_ref, yi_ref, hr_ref, hi_ref, *,
             a_i = jnp.sum(jnp.where(msel, cent_i, 0.0), axis=1)
             a_cnt = jnp.sum(jnp.where(msel, counts, 0.0), axis=1)
             # intended semantics: divide the anchored centroid by its OWN
-            # constellation point (see detect/kmeans.py); unrolled scalar
-            # selects — pallas kernels cannot capture constant arrays
+            # constellation point (see detect/kmeans.py).  Select via
+            # scalar compares against the picked index — pallas kernels
+            # cannot capture constant arrays, and msel[:, m] column
+            # extracts are lane-strided in Mosaic (measured: they nearly
+            # doubled the kernel's runtime)
+            mp = mpick[:, 0]  # [TB] picked cluster index
             sk_r = jnp.zeros((tb,), jnp.float32)
             sk_i = jnp.zeros((tb,), jnp.float32)
             for m in range(m_points):
-                sel_m = msel[:, m]
+                sel_m = mp == m
                 sk_r = jnp.where(sel_m, sr[m], sk_r)
                 sk_i = jnp.where(sel_m, si[m], sk_i)
         # re-projection hhat <- anchor centroid / s_anchor; empty anchor
