@@ -1,0 +1,58 @@
+"""Every committed parity artifact must pass its z-test, in CI.
+
+PARITY.md's nine sweeps are claims about files in benchmarks/parity/;
+this test re-runs the statistical comparison (tools/parity.py) on every
+committed (reference log, ours JSON) pair so a stale or regressed
+artifact fails the suite instead of living on as prose.  Pure host-side
+arithmetic — no TPU, no simulation.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+from tools.parity import compare, parse_reference_log
+
+PARITY_DIR = os.path.join(HERE, "benchmarks", "parity")
+
+# (ours JSON, reference log, info bits per block) — the sweep map of
+# benchmarks/parity/configs/README.md plus the earlier ad-hoc artifacts.
+PAIRS = [
+    ("ours_known_qpsk.json", "ref_known_qpsk.log", 1152),
+    ("ours_known_qpsk_bf16.json", "ref_known_qpsk.log", 1152),
+    ("ours_known_qpsk_fminsum.json", "ref_known_qpsk.log", 1152),
+    ("ours_blind_16qam.json", "ref_blind_16qam.log", 1152),
+    ("ours_blind_16qam_v2.json", "ref_blind_16qam.log", 1152),
+    ("ours_blind_16qam_v3.json", "ref_blind_16qam.log", 1152),
+    ("ours_known_5g16qam.json", "ref_known_5g16qam.log", 960),
+    ("ours_known_5g16qam_v2.json", "ref_known_5g16qam.log", 960),
+    ("ours_known_5g16qam_minsum.json", "ref_known_5g16qam.log", 960),
+    ("ours_blind_5g_soft.json", "ref_blind_5g_soft.log", 960),
+    ("ours_blind_5g_soft_minsum.json", "ref_blind_5g_soft.log", 960),
+    ("ours_blind_8064_64qam.json", "ref_blind_8064_64qam.log", 4032),
+    ("ours_blind_8064_fminsum.json", "ref_blind_8064_64qam.log", 4032),
+]
+
+
+def test_every_committed_artifact_is_mapped():
+    ours = {f for f in os.listdir(PARITY_DIR) if f.startswith("ours_")}
+    mapped = {p[0] for p in PAIRS}
+    assert ours == mapped, (
+        f"unmapped parity artifacts: {ours - mapped or mapped - ours}"
+    )
+
+
+@pytest.mark.parametrize("ours_f,ref_f,info_bits", PAIRS)
+def test_parity_artifact_passes(ours_f, ref_f, info_bits):
+    ref = parse_reference_log(os.path.join(PARITY_DIR, ref_f))
+    with open(os.path.join(PARITY_DIR, ours_f)) as f:
+        ours = json.load(f)
+    rows = compare(ref, ours, info_bits)
+    assert rows, f"{ours_f}: no overlapping SNR points with {ref_f}"
+    worst = max(max(abs(r["z_fer"]), abs(r["z_ber"])) for r in rows)
+    assert worst < 4.0, f"{ours_f} vs {ref_f}: worst |z| = {worst:.2f}"
