@@ -74,6 +74,8 @@ def test_graft_entry_multichip():
     ("PEG2304regular0.5.txt", "sumprod"),
     ("5GLDPCBG2a3_R12_K960.txt", "sumprod"),
     ("5GLDPCBG2a3_R12_K960.txt", "minsum"),
+    # the capability's target workload: the largest code (24,192 edges)
+    ("PEG8064regular0.5.txt", "minsum"),
 ])
 def test_edge_sharded_decoder_matches_single_device(assets, cfile, cn_rule):
     """Edge-sharded flooding BP (message state partitioned over a `model`
