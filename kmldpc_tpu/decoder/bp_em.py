@@ -125,6 +125,28 @@ def _cn_minsum(v2c: jnp.ndarray, mask, alpha: float, llr_clip):
     return c2v_new, jax.nn.sigmoid(sign_prod * min1)
 
 
+def _cn_sumprod(v2c: jnp.ndarray, mask, llr_clip):
+    """Gallager-phi (tanh-rule) check-node update over the leading axis.
+
+    Same contract as :func:`_cn_minsum`: ``v2c`` [d, n, B] f32, ``mask``
+    [d, n, 1] (1 = real edge) or None; returns (c2v_new, soft_syndrome).
+    Shared by the padded slot-major core and the edge-sharded decoder
+    (parallel/edge_sharded.py) so the two cannot drift."""
+    sign = jnp.where(v2c < 0, -1.0, 1.0)
+    mag = jnp.maximum(jnp.abs(v2c), _PHI_ARG_MIN)
+    ph = phi(mag)
+    if mask is not None:
+        sign = jnp.where(mask > 0, sign, 1.0)
+        ph = ph * mask
+    phi_sum = jnp.sum(ph, axis=0)  # [n, B]
+    sign_prod = jnp.prod(sign, axis=0)
+    excl_phi = jnp.maximum(phi_sum[None, :, :] - ph, constants.SMALLEST_PROB)
+    excl_sign = sign_prod[None, :, :] * sign
+    c2v_new = excl_sign * jnp.minimum(phi(excl_phi), llr_clip)
+    ss_new = 0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum))
+    return c2v_new, ss_new
+
+
 def _decode_cols_classes(
     t: DecoderTables, llr_col: jnp.ndarray, iter_count: int,
     msg_dtype=jnp.float32, cn_rule: str = "sumprod", alpha: float = 0.75,
@@ -195,23 +217,10 @@ def _decode_cols_classes(
             blk = pe - ce  # v2c for this row class
             if cn_rule == "minsum":
                 new, ss_blk = _cn_minsum(blk, None, alpha, llr_clip)
-                news.append(new.astype(msg_dtype).reshape(d * n, b))
-                sss.append(ss_blk)
-                roff += d * n
-                continue
-            sign = jnp.where(blk < 0, -1.0, 1.0)
-            mag = jnp.maximum(jnp.abs(blk), _PHI_ARG_MIN)
-            ph = phi(mag)
-            phi_sum = jnp.sum(ph, axis=0)  # [n, B]
-            sign_prod = jnp.prod(sign, axis=0)
-            excl_phi = jnp.maximum(phi_sum[None, :, :] - ph, constants.SMALLEST_PROB)
-            excl_sign = sign_prod[None, :, :] * sign
-            news.append(
-                (excl_sign * jnp.minimum(phi(excl_phi), llr_clip))
-                .astype(msg_dtype)
-                .reshape(d * n, b)
-            )
-            sss.append(0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum)))
+            else:
+                new, ss_blk = _cn_sumprod(blk, None, llr_clip)
+            news.append(new.astype(msg_dtype).reshape(d * n, b))
+            sss.append(ss_blk)
             roff += d * n
         c2v = jnp.concatenate(news, axis=0)  # [E, B] row-flat
         ss_new = jnp.concatenate(sss, axis=0)  # [nr, B] sorted
@@ -286,24 +295,10 @@ def _decode_cols_padded(
         conv_after = conv | ok
         # --- CN; v2c recomputed in place ---
         v2c_row = post_edge - c2v.astype(jnp.float32)
-        if cn_rule == "minsum":
-            c2v_new, ss_new = _cn_minsum(
-                v2c_row, None if regular else rmask, alpha, llr_clip
-            )
-            c2v = c2v_new.astype(msg_dtype)
-        else:
-            sign = jnp.where(v2c_row < 0, -1.0, 1.0)
-            mag = jnp.maximum(jnp.abs(v2c_row), _PHI_ARG_MIN)
-            ph = phi(mag)
-            if not regular:
-                sign = jnp.where(rmask > 0, sign, 1.0)
-                ph = ph * rmask
-            phi_sum = jnp.sum(ph, axis=0)  # [nr, B]
-            sign_prod = jnp.prod(sign, axis=0)
-            excl_phi = jnp.maximum(phi_sum[None, :, :] - ph, constants.SMALLEST_PROB)
-            excl_sign = sign_prod[None, :, :] * sign
-            c2v = (excl_sign * jnp.minimum(phi(excl_phi), llr_clip)).astype(msg_dtype)
-            ss_new = 0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum))
+        cn = _cn_minsum if cn_rule == "minsum" else _cn_sumprod
+        cn_args = (alpha, llr_clip) if cn_rule == "minsum" else (llr_clip,)
+        c2v_new, ss_new = cn(v2c_row, None if regular else rmask, *cn_args)
+        c2v = c2v_new.astype(msg_dtype)
         ss = jnp.where(conv_after[None, :], ss, ss_new)
         return i + 1, c2v, cc_hat, conv_after, iters, ss
 

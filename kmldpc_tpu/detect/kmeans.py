@@ -75,9 +75,7 @@ def make_blind_estimator(
     s0_norm = s0_r * s0_r + s0_i * s0_i
     # init anchor: the max-modulus constellation point (= s_0 on the
     # corner-first tables; the module docstring explains why not plain s_0)
-    import numpy as _np
-
-    mstar = int(_np.argmax(_np.asarray(sr) ** 2 + _np.asarray(si) ** 2))
+    mstar = int(jnp.argmax(sr**2 + si**2))
     init_idx = 0 if anchor == "first" else mstar
     sI_r, sI_i = sr[init_idx], si[init_idx]
     sI_norm = sI_r * sI_r + sI_i * sI_i

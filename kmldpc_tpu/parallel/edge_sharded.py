@@ -44,9 +44,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import constants
 from ..code.ldpc import LDPCCode
-from ..decoder.bp import DecodeResult, DecoderTables, phi
-
-_PHI_ARG_MIN = 1e-6
+from ..decoder.bp import DecodeResult, DecoderTables
+from ..decoder.bp_em import _cn_minsum, _cn_sumprod
 
 
 def _row_slab_tables(t: DecoderTables, ndev: int):
@@ -89,8 +88,7 @@ def make_edge_sharded_decoder(
     if cn_rule not in ("sumprod", "minsum"):
         raise ValueError(f"unknown cn_rule {cn_rule!r}")
     t = DecoderTables.from_code(code)
-    ndev = int(np.prod([s for n, s in zip(mesh.axis_names, mesh.devices.shape)
-                        if n == axis]))
+    ndev = int(mesh.shape[axis])  # KeyError here for a misnamed axis
     row_col_all, rmask_all, nr_pad = _row_slab_tables(t, ndev)
     nc, nr = t.num_col, t.num_row
     llr_clip = jnp.float32(constants.LLR_CLIP)
@@ -123,37 +121,14 @@ def make_edge_sharded_decoder(
             ok = unsat == 0
             iters = iters + (~conv).astype(jnp.int32)
             conv_after = conv | ok
-            # --- local CN update (both rules; pad slots write 0) ---
+            # --- local CN update: the SAME helpers as the single-chip
+            # cores (decoder/bp_em.py), so the two cannot drift; pad
+            # slots write 0 via the mask ---
             v2c = post_edge - c2v
             if cn_rule == "minsum":
-                big = jnp.float32(1e30)
-                sign = jnp.where(v2c < 0, -1.0, 1.0)
-                sign = jnp.where(rmask_sm > 0, sign, 1.0)
-                mag = jnp.where(rmask_sm > 0, jnp.abs(v2c), big)
-                min1 = jnp.min(mag, axis=0)
-                arg1 = jnp.argmin(mag, axis=0)
-                onehot = arg1[None] == jnp.arange(drm)[:, None, None]
-                min2 = jnp.min(jnp.where(onehot, big, mag), axis=0)
-                excl_min = jnp.where(onehot, min2[None], min1[None])
-                sign_prod = jnp.prod(sign, axis=0)
-                c2v_new = alpha_f * sign_prod[None] * sign * jnp.minimum(
-                    excl_min, llr_clip
-                )
-                ss_new = jax.nn.sigmoid(sign_prod * min1)
+                c2v_new, ss_new = _cn_minsum(v2c, rmask_sm, alpha_f, llr_clip)
             else:
-                sign = jnp.where(v2c < 0, -1.0, 1.0)
-                sign = jnp.where(rmask_sm > 0, sign, 1.0)
-                mag = jnp.maximum(jnp.abs(v2c), _PHI_ARG_MIN)
-                ph = phi(mag) * rmask_sm
-                phi_sum = jnp.sum(ph, axis=0)
-                sign_prod = jnp.prod(sign, axis=0)
-                excl_phi = jnp.maximum(
-                    phi_sum[None] - ph, constants.SMALLEST_PROB
-                )
-                c2v_new = sign_prod[None] * sign * jnp.minimum(
-                    phi(excl_phi), llr_clip
-                )
-                ss_new = 0.5 * (1.0 + sign_prod * jnp.exp(-phi_sum))
+                c2v_new, ss_new = _cn_sumprod(v2c, rmask_sm, llr_clip)
             c2v = c2v_new * rmask_sm
             ss = jnp.where(conv_after[None, :], ss, ss_new)
             return i + 1, c2v, cc_hat, conv_after, iters, ss
