@@ -95,6 +95,9 @@ class TpuConfig:
     # "match" (use the final schedule's decoder for metric decodes too —
     # with layered-minsum the QC fast path makes blind 5G much faster).
     metric_schedule: str = "flooding"
+    # Blind k-means implementation: "auto" (Pallas kernel on TPU backends,
+    # pure JAX elsewhere) | "jax" | "pallas".
+    kmeans_impl: str = "auto"
     # Exact two-phase decode tuning (bit-identical results for any value):
     # phase-1 iterations on the full batch, phase-2 tile width (0 = batch/8).
     phase1_iters: int = 6

@@ -145,6 +145,7 @@ class ChainSpec:
             tile=cfg.tpu.tile,
             kmeans_dump=bool(cfg.tpu.kmeans_dump_dir) and not cfg.decoder.true_h_arg,
             metric_schedule=cfg.tpu.metric_schedule,
+            kmeans_impl=cfg.tpu.kmeans_impl,
         )
 
 
@@ -178,6 +179,8 @@ def build_chain_fn(
         raise ValueError(f"unknown tpu.dtype {spec.dtype!r}")
     msg_dtype = jnp.float32 if spec.dtype == "float32" else jnp.bfloat16
     impl = spec.kmeans_impl
+    if impl not in ("auto", "jax", "pallas"):
+        raise ValueError(f"unknown kmeans_impl {impl!r}")
     if impl == "auto":
         # Pallas kernel on TPU backends for every constellation size: the
         # single-kernel design (whole iteration loop inside the kernel,

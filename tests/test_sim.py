@@ -396,3 +396,18 @@ def test_chain_rotated_16qam_labelings(assets):
         res = run(jax.random.key(6), np.float32(10 ** (-2.4)))  # 24 dB
         assert int(res.tot_blk) == 8
         assert int(res.err_blk) == 0, (fname, int(res.err_blk))
+
+
+def test_kmeans_impl_config_knob(assets):
+    """[tpu].kmeans_impl reaches ChainSpec (and an unknown value fails at
+    build time)."""
+    cfg = _cfg(assets, tpu=dict(kmeans_impl="jax"))
+    code = load_code(cfg.matrix_path())
+    const = parse_constellation(cfg.modem_path())
+    spec = ChainSpec.from_config(cfg, code, const)
+    assert spec.kmeans_impl == "jax"
+    bad = dataclasses.replace(spec, kmeans_impl="nope", known_h=False)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        make_chunk_runner(bad, batch=4)
