@@ -100,7 +100,7 @@ class TpuConfig:
     kmeans_impl: str = "auto"
     # Exact two-phase decode tuning (bit-identical results for any value):
     # phase-1 iterations on the full batch, phase-2 tile width (0 = batch/8).
-    phase1_iters: int = 6
+    phase1_iters: int = 3
     tile: int = 0
     # Sub-chunks folded into one device launch (lax.scan). Each launch
     # through the dev tunnel costs ~3 ms of fixed host/relay overhead, so

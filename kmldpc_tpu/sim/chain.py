@@ -112,8 +112,12 @@ class ChainSpec:
     # Exact two-phase decode knobs (decoder/bp_em.py): phase-1 iteration
     # budget on the full batch, and the compacted phase-2 tile width
     # (0 = batch // 8).  Results are bit-identical for any setting; only
-    # the cost changes with the operating FER.
-    phase1_iters: int = 6
+    # the cost changes with the operating FER.  Default re-tuned 6 -> 3 in
+    # round 3: the row-state/min-sum cores made full-batch iterations
+    # cheap enough that pushing stragglers to tiles earlier wins at every
+    # measured operating point (blind QPSK +13%, known +22%; PEG8064 and
+    # 5G rows re-measured, none regressed).
+    phase1_iters: int = 3
     tile: int = 0
     # Debug: surface the k-means diagnostics (final clusters + per-symbol
     # assignments) in ChunkResult.kmeans_diag for .mat export
