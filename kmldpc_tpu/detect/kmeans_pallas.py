@@ -49,17 +49,27 @@ from jax.experimental.pallas import tpu as pltpu
 def _pick_tile_sublane(
     b: int, nsym: int, m_points: int, budget_bytes: int = 12 << 20
 ) -> int:
-    """Batch-tile height: multiple of 8 dividing b, sized to VMEM.
+    """Batch-tile height: multiple of 8, sized to VMEM, dividing b if possible.
 
     Mosaic stack-allocates roughly one [TB, Nsym] f32 temporary per
     unrolled constellation step (measured: the M=64 kernel at TB=256,
     S=384 wanted 23.6 MB of scoped vmem against the 16 MB limit), so the
-    budget scales with M: keep (M + 6) live tiles under ~12 MB."""
+    budget scales with M: keep (M + 6) live tiles under ~12 MB.
+
+    When no tile divides ``b`` (e.g. b = 100 or 12), return the largest
+    in-budget tile anyway — ``estimate`` pads the batch up to the next tile
+    multiple and slices the result back.  (An earlier version returned
+    ``min(b, 8)`` with an unpadded ``grid = (b // tb,)``, which left the
+    last ``b mod tb`` rows of the output UNWRITTEN — silently-garbage
+    gains for any batch not divisible by 8.)"""
     per_tile = nsym * 4 * (m_points + 6)
     for t in (256, 128, 64, 32, 16, 8):
         if b % t == 0 and t * per_tile <= budget_bytes:
             return t
-    return min(b, 8)
+    for t in (256, 128, 64, 32, 16, 8):
+        if t * per_tile <= budget_bytes:
+            return t
+    return 8
 
 
 def _kmeans_kernel(yr_ref, yi_ref, hr_ref, hi_ref, *,
@@ -167,22 +177,33 @@ def make_blind_estimator_pallas(tables, iters: int = 20, anchor: str = "max"):
     def estimate(yr: jnp.ndarray, yi: jnp.ndarray):
         b, nsym = yr.shape
         tb = _pick_tile_sublane(b, nsym, len(sr))
-        grid = (b // tb,)
+        # Pad the batch up to a tile multiple: the grid must cover every
+        # output row.  Zero rows are benign through the whole kernel (the
+        # anchor lands on cluster 0 with h = 0, no division by zero) and
+        # are sliced off below.
+        bp = -(-b // tb) * tb
+        yr32 = yr.astype(jnp.float32)
+        yi32 = yi.astype(jnp.float32)
+        if bp != b:
+            pad = ((0, bp - b), (0, 0))
+            yr32 = jnp.pad(yr32, pad)
+            yi32 = jnp.pad(yi32, pad)
+        grid = (bp // tb,)
         kern = functools.partial(
             _kmeans_kernel, sr=sr, si=si, iters=iters, anchor=anchor
         )
         spec_y = pl.BlockSpec((tb, nsym), lambda i: (i, 0), memory_space=pltpu.VMEM)
         spec_h = pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        out = jax.ShapeDtypeStruct((b, 1), jnp.float32)
+        out = jax.ShapeDtypeStruct((bp, 1), jnp.float32)
         h_r, h_i = pl.pallas_call(
             kern,
             grid=grid,
             out_shape=(out, out),
             in_specs=[spec_y, spec_y],
             out_specs=(spec_h, spec_h),
-        )(yr.astype(jnp.float32), yi.astype(jnp.float32))
-        h_r = h_r[:, 0]
-        h_i = h_i[:, 0]
+        )(yr32, yi32)
+        h_r = h_r[:b, 0]
+        h_i = h_i[:b, 0]
         # 4 candidates hhat*e^{jk pi/2} = hhat*{1, j, -1, -j}
         # (simulator.cc:146-148)
         h4_r = jnp.stack([h_r, -h_i, -h_r, h_i], axis=1)

@@ -35,3 +35,29 @@ def test_pallas_kmeans_matches_jax(assets, fname, monkeypatch):
     h4j = e_jax(yr, yi)
     np.testing.assert_allclose(np.asarray(h4j[0]), np.asarray(h4p[0]), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(h4j[1]), np.asarray(h4p[1]), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("b", [100, 12, 7])
+def test_pallas_kmeans_odd_batch(assets, b):
+    """Batches not divisible by any tile must still fill EVERY output row.
+
+    Regression test for the round-3 bug where ``grid = (b // tb,)`` with an
+    unpadded batch left the last ``b mod tb`` gains unwritten (silent
+    garbage for e.g. ``[tpu].batch = 100``).  The kernel now pads the batch
+    to a tile multiple and slices back; every row must agree with the
+    pure-JAX estimator.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    import kmldpc_tpu.detect.kmeans_pallas as kp
+
+    const = parse_constellation(str(assets / "4bit_16QAM_Gray.txt"))
+    tables = ModemTables.from_constellation(const)
+    yr = jax.random.normal(jax.random.key(2), (b, 288))
+    yi = jax.random.normal(jax.random.key(3), (b, 288))
+    e_jax = make_blind_estimator(tables)
+    with pltpu.force_tpu_interpret_mode():
+        h4p = kp.make_blind_estimator_pallas(tables)(yr, yi)
+    h4j = e_jax(yr, yi)
+    np.testing.assert_allclose(np.asarray(h4j[0]), np.asarray(h4p[0]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h4j[1]), np.asarray(h4p[1]), rtol=1e-5, atol=1e-6)
