@@ -17,6 +17,15 @@ import tomllib
 from typing import Any
 
 
+class ConfigError(ValueError):
+    """Malformed configuration (unknown table/key, bad value).
+
+    The reference fails loudly on schema mismatches (``toml::find`` throws
+    on a missing key, kmldpc.cpp:29-40); we match that spirit in the other
+    direction too — a typo'd knob must not silently revert to its default.
+    """
+
+
 @dataclasses.dataclass(frozen=True)
 class RangeConfig:
     """SNR sweep + stopping rules (`[range]`, simulator.cc:7-13)."""
@@ -109,6 +118,23 @@ class TpuConfig:
     chunks_per_launch: int = 8
     # Data-parallel axis size; 0 = use all visible devices.
     data_parallel: int = 0
+    # Model-parallel axis size (0/1 = off).  N >= 2 builds a
+    # (data x model) 2-D mesh and row-shards the FINAL decode's message
+    # state over N devices (parallel/edge_sharded.py) — for codes/batches
+    # whose c2v state exceeds one chip's HBM (PEG8064 at B=1024 f32 is
+    # 99 MB).  Requires a flooding schedule; data_parallel then sets the
+    # data axis (0 = all remaining devices).
+    model_parallel: int = 0
+    # SNR-point launch folding (0/1 = off).  m >= 2 packs m whole launches
+    # — round-robin over the LIVE SNR points — into ONE device dispatch
+    # (sim/chain.py make_multi_point_runner): the TPU analogue of the
+    # reference's one-pool-thread-per-SNR-point concurrency
+    # (simulator.cc:27,35-42).  Short many-point sweeps amortize the fixed
+    # dispatch overhead m ways; per-point counters are bit-identical to the
+    # sequential path for block-capped sweeps (the error-cap rule can
+    # overrun by the in-flight slots instead of one launch — same
+    # launch-granular divergence class, see sim/montecarlo.py).
+    snr_fold: int = 0
     # Rayleigh fading per block (reference behavior, simulator.cc:121-123).
     # False pins h = 1 exactly (pure AWGN, driver config #0); the reference
     # has no such switch.
@@ -165,14 +191,26 @@ def default_asset_dir() -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir, "assets")
 
 
-def _build(cls, table: dict[str, Any], renames: dict[str, str] | None = None):
+def _build(
+    cls,
+    name: str,
+    table: dict[str, Any],
+    renames: dict[str, str] | None = None,
+):
     renames = renames or {}
     fields = {f.name for f in dataclasses.fields(cls)}
     kwargs = {}
     for key, value in table.items():
         key = renames.get(key, key)
-        if key in fields:
-            kwargs[key] = value
+        if key not in fields:
+            # Valid spellings as the user would write them (e.g. "5gldpc",
+            # which is renamed on load because it is not an identifier).
+            back = {v: k for k, v in renames.items()}
+            valid = sorted(back.get(f, f) for f in fields)
+            raise ConfigError(
+                f"unknown key {key!r} in [{name}]; valid keys: {', '.join(valid)}"
+            )
+        kwargs[key] = value
     return cls(**kwargs)
 
 
@@ -195,15 +233,24 @@ def config_from_dict(
             asset_dir = cand
         else:
             asset_dir = default_asset_dir()
+    known_tables = ("range", "decoder", "xcodec", "histogram", "ldpc", "modem", "tpu")
+    unknown = sorted(set(raw) - set(known_tables))
+    if unknown:
+        raise ConfigError(
+            f"unknown table(s) {', '.join(repr(u) for u in unknown)}; "
+            f"valid tables: {', '.join(known_tables)}"
+        )
     cfg = Config(
-        range=_build(RangeConfig, raw.get("range", {})),
-        decoder=_build(DecoderConfig, raw.get("decoder", {})),
+        range=_build(RangeConfig, "range", raw.get("range", {})),
+        decoder=_build(DecoderConfig, "decoder", raw.get("decoder", {})),
         # "5gldpc" is not a valid Python identifier — rename on load.
-        xcodec=_build(XCodecConfig, raw.get("xcodec", {}), {"5gldpc": "ldpc_5g"}),
-        histogram=_build(HistogramConfig, raw.get("histogram", {})),
-        ldpc=_build(LdpcConfig, raw.get("ldpc", {})),
-        modem=_build(ModemConfig, raw.get("modem", {})),
-        tpu=_build(TpuConfig, raw.get("tpu", {})),
+        xcodec=_build(
+            XCodecConfig, "xcodec", raw.get("xcodec", {}), {"5gldpc": "ldpc_5g"}
+        ),
+        histogram=_build(HistogramConfig, "histogram", raw.get("histogram", {})),
+        ldpc=_build(LdpcConfig, "ldpc", raw.get("ldpc", {})),
+        modem=_build(ModemConfig, "modem", raw.get("modem", {})),
+        tpu=_build(TpuConfig, "tpu", raw.get("tpu", {})),
         asset_dir=asset_dir,
     )
     # Fall back to the bundled assets if files are not found beside the config.

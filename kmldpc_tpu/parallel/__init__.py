@@ -1,2 +1,6 @@
-from .edge_sharded import make_edge_sharded_decoder  # noqa: F401
+from .edge_sharded import (  # noqa: F401
+    get_mesh_2d,
+    make_edge_sharded_decoder,
+    make_model_parallel_chunk_runner,
+)
 from .sharding import get_mesh, make_sharded_chunk_runner  # noqa: F401

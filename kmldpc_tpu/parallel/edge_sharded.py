@@ -72,25 +72,21 @@ def _row_slab_tables(t: DecoderTables, ndev: int):
     )
 
 
-def make_edge_sharded_decoder(
-    code: LDPCCode,
-    mesh: Mesh,
-    axis: str = "model",
-    cn_rule: str = "sumprod",
-    alpha: float = 0.75,
-) -> Callable[[jnp.ndarray, int], DecodeResult]:
-    """Row-sharded flooding decoder over ``mesh``'s ``axis``.
+def _make_device_decode(
+    t: DecoderTables, axis: str, cn_rule: str, alpha: float
+) -> Callable:
+    """The device-local slab decoder, for composition inside a shard_map.
 
-    ``decode(chan_llr [B, tx], iter_count) -> DecodeResult`` — same
-    interface and semantics as ``bp_em.flooding_decode_em`` (puncture
-    prior-insertion included), message state sharded over the mesh.
+    ``device_decode(row_col, rmask, llr_col, iter_count)`` runs one device's
+    row slab with exactly one ``psum`` over ``axis`` per iteration (plus the
+    cheap unsat-count psum).  Shared by :func:`make_edge_sharded_decoder`
+    (standalone decode interface) and
+    :func:`make_model_parallel_chunk_runner` (full chain) so the two cannot
+    drift.
     """
     if cn_rule not in ("sumprod", "minsum"):
         raise ValueError(f"unknown cn_rule {cn_rule!r}")
-    t = DecoderTables.from_code(code)
-    ndev = int(mesh.shape[axis])  # KeyError here for a misnamed axis
-    row_col_all, rmask_all, nr_pad = _row_slab_tables(t, ndev)
-    nc, nr = t.num_col, t.num_row
+    nc = t.num_col
     llr_clip = jnp.float32(constants.LLR_CLIP)
     alpha_f = jnp.float32(alpha)
 
@@ -148,6 +144,28 @@ def make_edge_sharded_decoder(
         _, _, cc_hat, conv, iters, ss = jax.lax.while_loop(cond, body, state)
         return cc_hat, conv, iters, ss
 
+    return device_decode
+
+
+def make_edge_sharded_decoder(
+    code: LDPCCode,
+    mesh: Mesh,
+    axis: str = "model",
+    cn_rule: str = "sumprod",
+    alpha: float = 0.75,
+) -> Callable[[jnp.ndarray, int], DecodeResult]:
+    """Row-sharded flooding decoder over ``mesh``'s ``axis``.
+
+    ``decode(chan_llr [B, tx], iter_count) -> DecodeResult`` — same
+    interface and semantics as ``bp_em.flooding_decode_em`` (puncture
+    prior-insertion included), message state sharded over the mesh.
+    """
+    t = DecoderTables.from_code(code)
+    ndev = int(mesh.shape[axis])  # KeyError here for a misnamed axis
+    row_col_all, rmask_all, nr_pad = _row_slab_tables(t, ndev)
+    nr = t.num_row
+    device_decode = _make_device_decode(t, axis, cn_rule, alpha)
+
     def sharded_fn(row_col, rmask, llr_col, iter_count):
         return jax.shard_map(
             lambda rc, rm, llr: device_decode(rc, rm, llr, iter_count),
@@ -175,3 +193,163 @@ def make_edge_sharded_decoder(
     decode.tables = t  # type: ignore[attr-defined]
     decode.num_shards = ndev  # type: ignore[attr-defined]
     return decode
+
+
+def get_mesh_2d(ndata: int, nmodel: int, devices=None) -> Mesh:
+    """(data x model) 2-D mesh over the first ``ndata * nmodel`` devices.
+
+    ``model`` is the minor axis so each data row's model group sits on
+    adjacent devices — the per-iteration posterior psum rides the shortest
+    ICI hops, while the (once-per-chunk) data-axis counter psum crosses
+    rows.
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = ndata * nmodel
+    if len(devices) < need:
+        raise ValueError(
+            f"mesh ({ndata} data x {nmodel} model) needs {need} devices, "
+            f"have {len(devices)}"
+        )
+    return Mesh(
+        np.asarray(devices[:need]).reshape(ndata, nmodel), ("data", "model")
+    )
+
+
+def make_model_parallel_chunk_runner(
+    spec, batch: int, mesh: Mesh, chunks_per_launch: int = 1
+):
+    """Full-chain chunk runner over a (data x model) mesh: the front-end is
+    data-parallel, the FINAL decode's message state is row-sharded over the
+    ``model`` axis.
+
+    The configuration-reachable form of the edge-sharded decoder
+    (``[tpu].model_parallel``): codes/batches whose message state exceeds
+    one chip's HBM (PEG8064 at B=1024 f32 is 99 MB of c2v state) decode
+    end-to-end without spilling.  Semantics match the data-parallel runner
+    (parallel/sharding.py): same front-end (build_frontend_fn — shared
+    code), same counter psums; the decode itself is single-phase
+    edge-sharded flooding, decision-identical in practice to the
+    single-chip two-phase decoder (see the module docstring's f32
+    psum-ordering note).
+
+    Limitations (named errors below): the layered min-sum schedule has no
+    row-sharded formulation (QC layers are rolls, not row slabs), and
+    histogram/kmeans-dump modes are diagnostic paths that never need model
+    parallelism.  In blind mode the metric decodes (metric_iter ~ 5
+    iterations, detect/metric.py) still run device-local with full message
+    state — only the final decode's state is sharded.
+    """
+    from ..sim.chain import ChunkResult, build_frontend_fn, make_chain_params
+
+    for ax in ("data", "model"):
+        if ax not in mesh.shape:
+            raise ValueError(f"mesh must have a {ax!r} axis, has {mesh.axis_names}")
+    ndata = int(mesh.shape["data"])
+    nmodel = int(mesh.shape["model"])
+    if spec.histogram:
+        raise ValueError("model_parallel does not support histogram mode")
+    if spec.kmeans_dump:
+        raise ValueError("model_parallel does not support kmeans_dump")
+    if spec.schedule == "layered-minsum":
+        raise ValueError(
+            "model_parallel requires a flooding schedule "
+            '("flooding" or "flooding-minsum"); the layered min-sum QC '
+            "fast path has no row-sharded formulation"
+        )
+    cn_rule = "minsum" if spec.schedule == "flooding-minsum" else "sumprod"
+    if batch % ndata != 0:
+        raise ValueError(f"batch {batch} not divisible by data axis {ndata}")
+    local_batch = batch // ndata
+    code = spec.code
+    frontend = build_frontend_fn(spec, local_batch)
+    params = make_chain_params(spec)
+    t = params.dec
+    row_col_all, rmask_all, _ = _row_slab_tables(t, nmodel)
+    device_decode = _make_device_decode(t, "model", cn_rule, spec.minsum_alpha)
+    n = max(1, chunks_per_launch)
+
+    def one_chunk(p, row_col, rmask, key, var):
+        uu, chan_llr, metrics, _ = frontend(p, key, var)
+        llr_col = jnp.asarray(chan_llr, jnp.float32).T  # [tx, B_local]
+        if t.punct:
+            llr_col = jnp.concatenate(
+                [jnp.zeros((t.punct, local_batch), jnp.float32), llr_col], axis=0
+            )
+        cc_hat, conv, iters, ss = device_decode(row_col, rmask, llr_col, spec.max_iter)
+        uu_hat = jax.lax.dynamic_slice_in_dim(cc_hat, t.info_start, t.code_dim, 0).T
+        errs = jnp.sum((uu != uu_hat).astype(jnp.int32), axis=1)  # [B_local]
+        errs_f = errs.astype(jnp.float32)
+        return ChunkResult(
+            err_bit=jnp.sum(errs),
+            err_blk=jnp.sum((errs > 0).astype(jnp.int32)),
+            tot_bit=jnp.int32(local_batch * code.code_dim),
+            tot_blk=jnp.int32(local_batch),
+            err_bit_sq=jnp.sum(errs_f * errs_f),
+            metrics=metrics,
+            iters=jnp.mean(iters.astype(jnp.float32)),
+            kmeans_diag=(),
+            # keep-alive, batch-major (see ChunkResult.raw)
+            raw=(uu_hat, cc_hat.T, conv, iters, ss[: t.num_row].T),
+        )
+
+    def per_device(p, row_col, rmask, keys, var):
+        if n == 1:
+            res = one_chunk(p, row_col, rmask, keys[0], var)
+        else:
+
+            def step(carry, k):
+                return carry, one_chunk(p, row_col, rmask, k, var)
+
+            _, rs = jax.lax.scan(step, 0, jax.random.split(keys[0], n))
+            res = ChunkResult(
+                err_bit=jnp.sum(rs.err_bit),
+                err_blk=jnp.sum(rs.err_blk),
+                tot_bit=jnp.sum(rs.tot_bit),
+                tot_blk=jnp.sum(rs.tot_blk),
+                err_bit_sq=jnp.sum(rs.err_bit_sq),
+                metrics=rs.metrics.reshape(n * local_batch, -1),
+                iters=jnp.mean(rs.iters),
+                kmeans_diag=(),
+                raw=rs.raw,
+            )
+        # counters are identical on every model device of a data row (the
+        # decode's posterior is psum-replicated over "model"), so the
+        # reduction runs over "data" only; psumming over "model" too would
+        # multiply every count by nmodel.
+        return ChunkResult(
+            err_bit=jax.lax.psum(res.err_bit, "data"),
+            err_blk=jax.lax.psum(res.err_blk, "data"),
+            tot_bit=jax.lax.psum(res.tot_bit, "data"),
+            tot_blk=jax.lax.psum(res.tot_blk, "data"),
+            err_bit_sq=jax.lax.psum(res.err_bit_sq, "data"),
+            metrics=res.metrics,
+            iters=jax.lax.pmean(res.iters, "data"),
+            kmeans_diag=(),
+            raw=res.raw,
+        )
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P("model"), P("model"), P("data"), P()),
+        out_specs=ChunkResult(
+            err_bit=P(), err_blk=P(), tot_bit=P(), tot_blk=P(),
+            err_bit_sq=P(), metrics=P("data"), iters=P(),
+            kmeans_diag=P(), raw=P("data"),
+        ),
+        # same zeros-meet-sharded while_loop carry issue as
+        # make_sharded_chunk_runner
+        check_vma=False,
+    )
+
+    jitted = jax.jit(sharded)
+
+    def run_chunk(key: jax.Array, var) -> ChunkResult:
+        keys = jax.random.split(key, ndata)
+        return jitted(params, row_col_all, rmask_all, keys, var)
+
+    run_chunk.params = params  # type: ignore[attr-defined]
+    run_chunk.blocks_per_launch = n * batch  # type: ignore[attr-defined]
+    run_chunk.num_row_shards = nmodel  # type: ignore[attr-defined]
+    return run_chunk

@@ -163,25 +163,24 @@ def make_chain_params(spec: ChainSpec) -> ChainParams:
     )
 
 
-def build_chain_fn(
+def build_frontend_fn(
     spec: ChainSpec, batch: int
-) -> Callable[[ChainParams, jax.Array, jnp.ndarray], ChunkResult]:
-    """The raw (unjitted) chunk chain: ``fn(params, key, var)``.
+) -> Callable[[ChainParams, jax.Array, jnp.ndarray], tuple]:
+    """The chain up to (but not including) the final decode.
 
-    Exposed separately so the sharded runner (parallel/sharding.py) can wrap
-    the identical body in ``shard_map`` — single-chip and multi-chip paths
-    share one implementation.  All big arrays arrive via ``params``.
+    ``frontend(params, key, var) -> (uu, chan_llr, metrics, kmeans_diag)``:
+    source bits, encode, map, channel, blind detection + ambiguity metrics
+    (or known-h), soft demap.  ``chan_llr`` is ``[B, tx]`` (None only in
+    histogram mode, which skips the final decode).  Factored out of
+    :func:`build_chain_fn` so the model-parallel runner
+    (parallel/edge_sharded.py) can pair the identical front-end with the
+    edge-sharded decoder — the two paths cannot drift.
     """
     code = spec.code
     tables = ModemTables.from_constellation(spec.constellation)
     encode = make_encoder(code, active=spec.encoder_active)
     map_bits = make_mapper(tables)
     demap = make_soft_demapper(tables)
-    if spec.schedule not in ("flooding", "layered-minsum", "flooding-minsum"):
-        raise ValueError(f"unknown schedule {spec.schedule!r}")
-    if spec.dtype not in ("float32", "bfloat16"):
-        raise ValueError(f"unknown tpu.dtype {spec.dtype!r}")
-    msg_dtype = jnp.float32 if spec.dtype == "float32" else jnp.bfloat16
     impl = spec.kmeans_impl
     if impl not in ("auto", "jax", "pallas"):
         raise ValueError(f"unknown kmeans_impl {impl!r}")
@@ -226,7 +225,7 @@ def build_chain_fn(
     )
     sel_tabs = (lambda p: p.ms) if use_ms_metric else (lambda p: p.dec)
 
-    def run_chunk(params: ChainParams, key: jax.Array, var: jnp.ndarray) -> ChunkResult:
+    def frontend(params: ChainParams, key: jax.Array, var: jnp.ndarray) -> tuple:
         sigma = jnp.sqrt(var)
         k_bits, k_chan = jax.random.split(key)
         uu = random_bits(k_bits, (batch, code.code_dim))
@@ -265,6 +264,34 @@ def build_chain_fn(
             h4_r, h4_i = estimate(yr, yi)
             hr, hi, metrics, chan_llr = select(sel_tabs(params), yr, yi, h4_r, h4_i, var)
 
+        # histogram mode skips the final decode, so no LLRs are needed
+        if not spec.histogram and chan_llr is None:
+            _, chan_llr = demap(yr, yi, hr, hi, var)
+        return uu, chan_llr, metrics, kmeans_diag
+
+    return frontend
+
+
+def build_chain_fn(
+    spec: ChainSpec, batch: int
+) -> Callable[[ChainParams, jax.Array, jnp.ndarray], ChunkResult]:
+    """The raw (unjitted) chunk chain: ``fn(params, key, var)``.
+
+    Exposed separately so the sharded runner (parallel/sharding.py) can wrap
+    the identical body in ``shard_map`` — single-chip and multi-chip paths
+    share one implementation.  All big arrays arrive via ``params``.
+    """
+    code = spec.code
+    if spec.schedule not in ("flooding", "layered-minsum", "flooding-minsum"):
+        raise ValueError(f"unknown schedule {spec.schedule!r}")
+    if spec.dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown tpu.dtype {spec.dtype!r}")
+    msg_dtype = jnp.float32 if spec.dtype == "float32" else jnp.bfloat16
+    frontend = build_frontend_fn(spec, batch)
+
+    def run_chunk(params: ChainParams, key: jax.Array, var: jnp.ndarray) -> ChunkResult:
+        uu, chan_llr, metrics, kmeans_diag = frontend(params, key, var)
+
         raw = ()
         if spec.histogram:
             # histogram mode skips the final decode (simulator.cc:154-163):
@@ -272,8 +299,6 @@ def build_chain_fn(
             uu_hat = jnp.zeros_like(uu)
             mean_iters = jnp.float32(0)
         else:
-            if chan_llr is None:
-                _, chan_llr = demap(yr, yi, hr, hi, var)
             if spec.schedule == "layered-minsum":
                 from ..decoder.bp_em import two_phase_generic
 
@@ -339,31 +364,8 @@ def make_chunk_runner(
     decoder's compaction dynamics degrade above ~1024 codewords.
     """
     params = make_chain_params(spec)
-    chain = build_chain_fn(spec, batch)
+    fn = _fold_launch(build_chain_fn(spec, batch), batch, max(1, chunks_per_launch))
     n = max(1, chunks_per_launch)
-    if n == 1:
-        fn = chain
-    else:
-
-        def fn(params: ChainParams, key: jax.Array, var) -> ChunkResult:
-            def step(carry, k):
-                return carry, chain(params, k, var)
-
-            _, rs = jax.lax.scan(step, 0, jax.random.split(key, n))
-            return ChunkResult(
-                err_bit=jnp.sum(rs.err_bit),
-                err_blk=jnp.sum(rs.err_blk),
-                tot_bit=jnp.sum(rs.tot_bit),
-                tot_blk=jnp.sum(rs.tot_blk),
-                err_bit_sq=jnp.sum(rs.err_bit_sq),
-                metrics=rs.metrics.reshape(n * batch, -1),
-                iters=jnp.mean(rs.iters),
-                kmeans_diag=jax.tree.map(
-                    lambda a: a.reshape((n * batch,) + a.shape[2:]),
-                    rs.kmeans_diag,
-                ),
-                raw=rs.raw,
-            )
 
     jitted = jax.jit(fn)
 
@@ -373,3 +375,77 @@ def make_chunk_runner(
     run_chunk.params = params  # type: ignore[attr-defined]
     run_chunk.blocks_per_launch = n * batch  # type: ignore[attr-defined]
     return run_chunk
+
+
+def _fold_launch(chain, batch: int, n: int):
+    """Fold ``n`` sub-chunks of ``chain`` into one launch body (lax.scan).
+
+    The resulting ``fn(params, key, var) -> ChunkResult`` is the unjitted
+    launch program shared by :func:`make_chunk_runner` and
+    :func:`make_multi_point_runner` — the per-launch key/sub-key derivation
+    must be identical in both so a multi-point sweep replays the exact
+    chunk sequence of the sequential path (bit-identical counters).
+    """
+    if n == 1:
+        return chain
+
+    def fn(params: ChainParams, key: jax.Array, var) -> ChunkResult:
+        def step(carry, k):
+            return carry, chain(params, k, var)
+
+        _, rs = jax.lax.scan(step, 0, jax.random.split(key, n))
+        return ChunkResult(
+            err_bit=jnp.sum(rs.err_bit),
+            err_blk=jnp.sum(rs.err_blk),
+            tot_bit=jnp.sum(rs.tot_bit),
+            tot_blk=jnp.sum(rs.tot_blk),
+            err_bit_sq=jnp.sum(rs.err_bit_sq),
+            metrics=rs.metrics.reshape(n * batch, -1),
+            iters=jnp.mean(rs.iters),
+            kmeans_diag=jax.tree.map(
+                lambda a: a.reshape((n * batch,) + a.shape[2:]),
+                rs.kmeans_diag,
+            ),
+            raw=rs.raw,
+        )
+
+    return fn
+
+
+def make_multi_point_runner(
+    spec: ChainSpec, batch: int, chunks_per_launch: int = 1, m: int = 2
+) -> Callable[[jax.Array, jnp.ndarray], ChunkResult]:
+    """One dispatch advancing ``m`` independent launches — the TPU analogue
+    of the reference's one-pool-thread-per-SNR-point concurrency
+    (simulator.cc:27,35-42).
+
+    ``run_launches(keys [m], vars [m]) -> ChunkResult`` with per-launch
+    leading axis [m] on every counter, so the host attributes each slot to
+    its SNR point and applies the per-point stopping rules unchanged.  Each
+    slot runs the SAME launch program as :func:`make_chunk_runner`
+    (``_fold_launch``): slot j with (key, var) of point p's launch L
+    produces bit-identical counters to the sequential path's launch L of
+    point p.  Short many-point sweeps (the parity configs: 7-8 points of a
+    few seconds each) amortize the fixed ~3 ms dispatch overhead over m
+    points instead of paying it per point.
+    """
+    params = make_chain_params(spec)
+    launch = _fold_launch(build_chain_fn(spec, batch), batch, max(1, chunks_per_launch))
+    n = max(1, chunks_per_launch)
+
+    def fn(params: ChainParams, keys: jax.Array, vars_: jnp.ndarray) -> ChunkResult:
+        def step(carry, kv):
+            return carry, launch(params, kv[0], kv[1])
+
+        _, rs = jax.lax.scan(step, 0, (keys, vars_))
+        return rs  # stacked [m, ...]
+
+    jitted = jax.jit(fn)
+
+    def run_launches(keys: jax.Array, vars_) -> ChunkResult:
+        return jitted(params, keys, jnp.asarray(vars_, jnp.float32))
+
+    run_launches.params = params  # type: ignore[attr-defined]
+    run_launches.blocks_per_launch = n * batch  # type: ignore[attr-defined]
+    run_launches.num_slots = m  # type: ignore[attr-defined]
+    return run_launches

@@ -33,13 +33,14 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..code.ldpc import load_code
 from ..config import Config
 from ..io.constellation import parse_constellation
 from ..utils.logging import SimLogger
-from .chain import ChainSpec, ChunkResult, make_chunk_runner
+from .chain import ChainSpec, ChunkResult, make_chunk_runner, make_multi_point_runner
 
 
 @dataclasses.dataclass
@@ -107,8 +108,47 @@ class Simulator:
         # blocks per launch than the whole sweep point needs
         cpl = max(1, min(cfg.tpu.chunks_per_launch,
                          -(-cfg.range.maximum_block_number // self.batch)))
+        self.snr_fold = 0
+        if cfg.tpu.snr_fold > 1 and (
+            cfg.histogram.enable or self.spec.kmeans_dump or cfg.tpu.model_parallel > 1
+        ):
+            raise ValueError(
+                "[tpu].snr_fold is incompatible with histogram mode, "
+                "kmeans_dump_dir, and model_parallel"
+            )
         if runner_factory is not None:
             self.runner = runner_factory(self.spec, self.batch)
+        elif cfg.tpu.snr_fold > 1:
+            # multi-point launch folding: one dispatch advances several live
+            # SNR points (see _simulate_folded); single-device program.
+            self.snr_fold = max(1, min(cfg.tpu.snr_fold, len(cfg.snr_points())))
+            self.runner = make_multi_point_runner(
+                self.spec, self.batch, cpl, self.snr_fold
+            )
+            self.log.info(
+                f"SNR-fold: {self.snr_fold} launch slots per dispatch"
+            )
+        elif cfg.tpu.model_parallel > 1:
+            # (data x model) 2-D mesh: front-end data-parallel, final
+            # decode's message state row-sharded over the model axis
+            # (parallel/edge_sharded.py).
+            from ..parallel.edge_sharded import (
+                get_mesh_2d,
+                make_model_parallel_chunk_runner,
+            )
+
+            nmodel = cfg.tpu.model_parallel
+            navail = len(jax.devices())
+            ndata = cfg.tpu.data_parallel or max(1, navail // nmodel)
+            mesh = get_mesh_2d(ndata, nmodel)  # raises if over-subscribed
+            self.batch = max(ndata, self.batch - self.batch % ndata)
+            self.runner = make_model_parallel_chunk_runner(
+                self.spec, self.batch, mesh, cpl
+            )
+            self.log.info(
+                f"Mesh: {ndata} data x {nmodel} model devices, "
+                f"batch {self.batch}, decoder row-sharded {nmodel} ways"
+            )
         else:
             ndev = cfg.tpu.data_parallel or len(jax.devices())
             if ndev > 1 and self.batch >= ndev:
@@ -294,12 +334,167 @@ class Simulator:
             f.write(" ".join(f"{v:g}" for v in rolled) + " \n")
 
     def simulate(self) -> list[SnrResult]:
+        body = self._simulate_folded if self.snr_fold else self._simulate
         if self.cfg.tpu.profile_dir:
             import jax.profiler
 
             with jax.profiler.trace(self.cfg.tpu.profile_dir):
-                return self._simulate()
-        return self._simulate()
+                return body()
+        return body()
+
+    def _simulate_folded(self) -> list[SnrResult]:
+        """Concurrent SNR points: one dispatch carries ``snr_fold`` whole
+        launches round-robined over the LIVE points.
+
+        The TPU analogue of the reference's one-pool-thread-per-SNR-point
+        outer concurrency (simulator.cc:27,35-42).  Each slot is exactly
+        one sequential-path launch — same key derivation
+        (fold_in(point_key, launch_index)), same chunk program — so a
+        block-capped sweep lands on bit-identical per-point counters; the
+        error-cap rule sees counters that lag by the in-flight slots
+        instead of by one launch (the same launch-granular divergence
+        documented for the sequential path, just deeper).  Dead slots pad
+        the last dispatches to the fixed shape; their results are
+        discarded on the host, preserving the per-point launch sequence.
+        """
+        cfg = self.cfg
+        state = self._load_ckpt()
+        m = self.snr_fold
+        per_launch = self.runner.blocks_per_launch
+        max_blk = cfg.range.maximum_block_number
+        max_err = cfg.range.maximum_error_number
+        t0 = time.monotonic()
+
+        points = cfg.snr_points()
+        cs: dict[float, _Counters] = {}
+        done: dict[float, bool] = {}
+        launched: dict[float, int] = {}
+        inflight: dict[float, int] = {}
+        pkeys: dict[float, jax.Array] = {}
+        last_print: dict[float, int] = {}
+        for snr in points:
+            saved = state["snr"].get(f"{snr:.3f}")
+            c = _Counters(**{k: saved[k] for k in
+                             ("tot_blk", "err_blk", "err_bit", "tot_bit", "chunks")},
+                          err_bit_sq=saved.get("err_bit_sq", 0.0)) \
+                if saved else _Counters()
+            cs[snr] = c
+            done[snr] = bool(saved and saved.get("done"))
+            launched[snr] = c.chunks
+            inflight[snr] = 0
+            last_print[snr] = c.tot_blk
+            pkeys[snr] = jax.random.fold_in(
+                self.root_key, int(round(snr * 1000)) & 0xFFFFFFFF
+            )
+            if saved and not done[snr]:
+                self.log.info(
+                    f"SNR {snr:.3f}: resuming mid-point from checkpoint "
+                    f"({c.tot_blk} blocks done)"
+                )
+
+        def wants(snr: float) -> bool:
+            c = cs[snr]
+            return (
+                not done[snr]
+                and c.tot_blk + per_launch * inflight[snr] < max_blk
+                and c.err_blk < max_err
+            )
+
+        def save_point(snr: float) -> None:
+            c = cs[snr]
+            state["snr"][f"{snr:.3f}"] = dict(
+                tot_blk=c.tot_blk, err_blk=c.err_blk, err_bit=c.err_bit,
+                tot_bit=c.tot_bit, chunks=c.chunks, done=done[snr],
+                err_bit_sq=c.err_bit_sq,
+            )
+
+        def consume(dispatch) -> None:
+            slots, res = dispatch
+            err_bit = np.asarray(res.err_bit)
+            err_blk = np.asarray(res.err_blk)
+            tot_bit = np.asarray(res.tot_bit)
+            tot_blk = np.asarray(res.tot_blk)
+            err_sq = np.asarray(res.err_bit_sq)
+            iters = np.asarray(res.iters)
+            for j, (snr, valid) in enumerate(slots):
+                inflight[snr] -= 1
+                if not valid:
+                    continue  # dead padding slot — discard
+                c = cs[snr]
+                c.chunks += 1
+                c.err_bit += int(err_bit[j])
+                c.err_blk += int(err_blk[j])
+                c.tot_bit += int(tot_bit[j])
+                c.tot_blk += int(tot_blk[j])
+                c.err_bit_sq += float(err_sq[j])
+                self.log.info(
+                    f"chunk {c.chunks} [snr {snr:.3f}]: "
+                    f"mean BP iters = {float(iters[j]):.2f}",
+                    to_stdout=False,
+                )
+                if (c.tot_blk - last_print[snr] >= 100 or c.tot_blk >= max_blk
+                        or c.err_blk >= max_err):
+                    self._print_result(snr, c)
+                    last_print[snr] = c.tot_blk
+                if self._ckpt_path():
+                    save_point(snr)
+            if self._ckpt_path():
+                self._save_ckpt(state)
+
+        rr = 0  # round-robin cursor over points
+        pending: list = []
+        while True:
+            # assemble the next dispatch: m slots round-robined over the
+            # points that still want a launch (a point may take several
+            # slots — consecutive launch indices — when few points remain)
+            slots: list[tuple[float, bool]] = []
+            keys, vars_ = [], []
+            while len(slots) < m and any(wants(p) for p in points):
+                snr = points[rr % len(points)]
+                rr += 1
+                if not wants(snr):
+                    continue
+                slots.append((snr, True))
+                keys.append(jax.random.fold_in(pkeys[snr], launched[snr]))
+                vars_.append(10.0 ** (-0.1 * snr))
+                launched[snr] += 1
+                inflight[snr] += 1
+            if not slots:
+                if pending:
+                    consume(pending.pop(0))
+                    continue
+                break
+            while len(slots) < m:  # dead padding, discarded on consume
+                slots.append((slots[0][0], False))
+                keys.append(keys[0])
+                vars_.append(vars_[0])
+            res = self.runner(jnp.stack(keys), np.asarray(vars_, np.float32))
+            pending.append((slots, res))
+            if len(pending) > 1:  # double-buffered: consume the older one
+                consume(pending.pop(0))
+        wall = time.monotonic() - t0
+
+        results: list[SnrResult] = []
+        for snr in points:
+            c = cs[snr]
+            done[snr] = True
+            save_point(snr)
+            self._print_result(snr, c)
+            results.append(SnrResult(
+                snr=snr, ber=c.ber, fer=c.fer, tot_blk=c.tot_blk,
+                err_blk=c.err_blk, err_bit=c.err_bit, tot_bit=c.tot_bit,
+                wall_s=wall, blocks_per_s=c.tot_blk / wall if wall > 0 else 0.0,
+                err_bit_sq=c.err_bit_sq,
+            ))
+        if self._ckpt_path():
+            self._save_ckpt(state)
+        self.log.info("BER Result")
+        for r in results:
+            self.log.info(f"{r.snr:.3f} {r.ber:.14f}")
+        self.log.info("FER Result")
+        for r in results:
+            self.log.info(f"{r.snr:.3f} {r.fer:.14f}")
+        return results
 
     def _simulate(self) -> list[SnrResult]:
         cfg = self.cfg

@@ -119,3 +119,105 @@ def test_edge_sharded_decoder_matches_single_device(assets, cfile, cn_rule):
         rtol=1e-3, atol=1e-4,
     )
     assert np.asarray(r_es.converged).all()
+
+
+# ---------------------------------------------------------------------------
+# config-reachable model parallelism: the (data x model) chunk runner
+# ---------------------------------------------------------------------------
+
+
+def test_model_parallel_matches_data_parallel(spec):
+    """The (data x model) runner must produce the SAME counters as the
+    plain data-parallel runner with the same data-axis size and key: the
+    front-end is shared code with identical per-device keys, and the
+    edge-sharded decode is decision-identical to the single-chip decoder."""
+    from kmldpc_tpu.parallel.edge_sharded import (
+        get_mesh_2d,
+        make_model_parallel_chunk_runner,
+    )
+
+    var = np.float32(10 ** (-0.5))  # 5 dB: plenty of errors
+    key = jax.random.key(11)
+    r_dp = make_sharded_chunk_runner(spec, 16, get_mesh(2))(key, var)
+    r_mp = make_model_parallel_chunk_runner(spec, 16, get_mesh_2d(2, 4))(key, var)
+    assert int(r_mp.tot_blk) == 16
+    assert int(r_mp.tot_bit) == int(r_dp.tot_bit)
+    assert int(r_mp.err_blk) == int(r_dp.err_blk)
+    assert int(r_mp.err_bit) == int(r_dp.err_bit)
+    assert float(r_mp.err_bit_sq) == float(r_dp.err_bit_sq)
+
+
+def test_model_parallel_blind_end_to_end(assets):
+    """Blind chain (k-means + metrics + winner-LLR reuse) through the
+    model-parallel runner, with launch folding: counters must match the
+    data-parallel runner exactly (shared front-end, identical keys,
+    decision-identical edge-sharded decode)."""
+    from kmldpc_tpu.parallel.edge_sharded import (
+        get_mesh_2d,
+        make_model_parallel_chunk_runner,
+    )
+
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    const = parse_constellation(str(assets / "4bit_16QAM_Gray.txt"))
+    bspec = ChainSpec(
+        code=code, constellation=const, known_h=False, fading=True,
+        metric_type=False, metric_iter=5, max_iter=50,
+        encoder_active=True, histogram=False,
+    )
+    key = jax.random.key(3)
+    var = np.float32(10 ** (-2.4))  # 24 dB
+    run = make_model_parallel_chunk_runner(
+        bspec, 8, get_mesh_2d(2, 4), chunks_per_launch=2
+    )
+    assert run.blocks_per_launch == 16
+    res = run(key, var)
+    ref = make_sharded_chunk_runner(bspec, 8, get_mesh(2), chunks_per_launch=2)(
+        key, var
+    )
+    assert int(res.tot_blk) == 16
+    assert int(res.err_blk) == int(ref.err_blk)
+    assert int(res.err_bit) == int(ref.err_bit)
+    assert res.metrics.shape == (16, 4)
+    np.testing.assert_allclose(
+        np.asarray(res.metrics), np.asarray(ref.metrics), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_model_parallel_validation(spec):
+    from kmldpc_tpu.parallel.edge_sharded import (
+        get_mesh_2d,
+        make_model_parallel_chunk_runner,
+    )
+
+    import dataclasses
+
+    mesh = get_mesh_2d(2, 4)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_model_parallel_chunk_runner(spec, 15, mesh)
+    ms = dataclasses.replace(spec, schedule="layered-minsum")
+    with pytest.raises(ValueError, match="flooding schedule"):
+        make_model_parallel_chunk_runner(ms, 16, mesh)
+    hist = dataclasses.replace(spec, histogram=True)
+    with pytest.raises(ValueError, match="histogram"):
+        make_model_parallel_chunk_runner(hist, 16, mesh)
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        get_mesh_2d(2, 8)
+
+
+def test_model_parallel_config_end_to_end():
+    """`[tpu].model_parallel` routes a real sweep through the
+    (data x model) runner: the committed PEG8064 config decodes end-to-end
+    with row-sharded message state on the virtual 8-device mesh."""
+    import pathlib
+
+    from kmldpc_tpu.config import load_config
+    from kmldpc_tpu.sim import Simulator
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    cfg = load_config(str(repo / "configs" / "peg8064_model_parallel.toml"))
+    sim = Simulator(cfg)
+    assert getattr(sim.runner, "num_row_shards", None) == 4
+    results = sim.simulate()
+    assert len(results) == 1
+    assert results[0].tot_blk == 16
+    assert results[0].fer < 1.0  # 18 dB known-h: most blocks decode

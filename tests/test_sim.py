@@ -41,6 +41,32 @@ def test_config_load_reference_schema(assets):
     assert os.path.exists(cfg.matrix_path())
 
 
+def test_config_rejects_unknown_keys_and_tables():
+    """A typo'd knob must fail loudly, not silently revert to its default.
+
+    The reference fails on missing keys (toml::find throws); we match that
+    spirit for unknown keys/tables in every one of the seven tables.
+    """
+    from kmldpc_tpu.config import ConfigError, config_from_dict
+
+    # Typo in the table that controls the whole perf/parity surface.
+    with pytest.raises(ConfigError, match=r"scheduel.*\[tpu\].*schedule"):
+        config_from_dict({"tpu": {"scheduel": "layered-minsum"}})
+    with pytest.raises(ConfigError, match=r"phase_1_iters"):
+        config_from_dict({"tpu": {"phase_1_iters": 5}})
+    with pytest.raises(ConfigError, match=r"\[range\]"):
+        config_from_dict({"range": {"min_snr": 10.0}})
+    # Unknown top-level table.
+    with pytest.raises(ConfigError, match="unknown table"):
+        config_from_dict({"rnage": {}})
+    # The error message lists the user-facing spelling of renamed keys.
+    with pytest.raises(ConfigError, match="5gldpc"):
+        config_from_dict({"xcodec": {"bogus": 1}})
+    # The reference spelling itself still loads.
+    cfg = config_from_dict({"xcodec": {"5gldpc": True}})
+    assert cfg.xcodec.ldpc_5g
+
+
 def test_chunk_runner_known_h_high_snr(assets):
     code = load_code(str(assets / "PEG2304regular0.5.txt"))
     const = parse_constellation(str(assets / "2bits_QPSK.txt"))
@@ -70,6 +96,72 @@ def test_chunk_runner_blind_16qam(assets):
     run = make_chunk_runner(spec, batch=16)
     res = run(jax.random.key(3), np.float32(10 ** (-2.4)))  # 24 dB
     assert int(res.err_blk) == 0, (int(res.err_blk), int(res.err_bit))
+
+
+def test_multi_point_runner_slots_match_sequential_launches(assets):
+    """Each slot of the multi-point runner is bit-identical to the same
+    (key, var) launch through make_chunk_runner — the invariant the folded
+    SNR sweep relies on."""
+    import jax.numpy as jnp
+
+    from kmldpc_tpu.sim.chain import make_multi_point_runner
+
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    const = parse_constellation(str(assets / "2bits_QPSK.txt"))
+    spec = ChainSpec(
+        code=code, constellation=const, known_h=True, fading=True,
+        metric_type=False, metric_iter=5, max_iter=30,
+        encoder_active=True, histogram=False,
+    )
+    seq = make_chunk_runner(spec, 8, chunks_per_launch=2)
+    multi = make_multi_point_runner(spec, 8, chunks_per_launch=2, m=3)
+    keys = [jax.random.key(i) for i in (5, 6, 7)]
+    vars_ = [10 ** (-0.3), 10 ** (-0.3), 10 ** (-0.8)]
+    res = multi(jnp.stack(keys), vars_)
+    for j in range(3):
+        r = seq(keys[j], np.float32(vars_[j]))
+        for field in ("err_bit", "err_blk", "tot_bit", "tot_blk"):
+            assert int(getattr(res, field)[j]) == int(getattr(r, field)), field
+        assert float(res.err_bit_sq[j]) == float(r.err_bit_sq)
+
+
+def test_snr_fold_bit_identical_sweep(assets):
+    """[tpu].snr_fold: a block-capped multi-point sweep lands on
+    bit-identical per-point counters vs the sequential path (VERDICT r3
+    item 7 'done' criterion), at fixed seeds."""
+    common = dict(
+        range=dict(minimum_snr=2.0, maximum_snr=6.0, step_snr=2.0,
+                   maximum_block_number=48, maximum_error_number=10**9),
+        decoder=dict(true_h_arg=True),
+    )
+    cfg_seq = _cfg(assets, tpu=dict(batch=8, chunks_per_launch=2,
+                                    data_parallel=1), **common)
+    cfg_fold = _cfg(assets, tpu=dict(batch=8, chunks_per_launch=2,
+                                     data_parallel=1, snr_fold=3), **common)
+    r_seq = Simulator(cfg_seq, SimLogger(log_dir=None, stdout=False)).simulate()
+    r_fold = Simulator(cfg_fold, SimLogger(log_dir=None, stdout=False)).simulate()
+    assert len(r_seq) == len(r_fold) == 3
+    for a, b in zip(r_seq, r_fold):
+        assert a.snr == b.snr
+        assert (a.tot_blk, a.err_blk, a.err_bit, a.tot_bit) == \
+               (b.tot_blk, b.err_blk, b.err_bit, b.tot_bit), a.snr
+        assert a.err_bit_sq == b.err_bit_sq
+
+
+def test_snr_fold_error_cap_terminates(assets):
+    """The error-cap stopping rule terminates the folded sweep (with the
+    documented in-flight-slots overrun, launch-granular)."""
+    cfg = _cfg(
+        assets,
+        range=dict(minimum_snr=0.0, maximum_snr=2.0, step_snr=2.0,
+                   maximum_block_number=10**6, maximum_error_number=4),
+        decoder=dict(true_h_arg=True),
+        tpu=dict(batch=8, chunks_per_launch=1, data_parallel=1, snr_fold=2),
+    )
+    rs = Simulator(cfg, SimLogger(log_dir=None, stdout=False)).simulate()
+    for r in rs:
+        assert r.err_blk >= 4
+        assert r.tot_blk <= 8 * 8  # bounded overrun
 
 
 def test_stopping_rule_max_blocks(assets, tmp_path):
