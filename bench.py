@@ -37,8 +37,9 @@ def left() -> float:
     return BUDGET_S - (time.monotonic() - T0)
 
 
-def measure(runner, key, var, steps: int = 12) -> float:
-    """Steady-state seconds per chunk, pipelined.
+def measure(runner, key, var, passes: int = 3, steps: int = 5):
+    """Steady-state seconds per chunk: median of ``passes`` interleaved
+    passes of ``steps`` pipelined chunks, plus the min-max spread.
 
     Chunks are dispatched back-to-back without intermediate syncs — exactly
     how the Monte-Carlo driver issues them (double-buffered, see
@@ -50,6 +51,14 @@ def measure(runner, key, var, steps: int = 12) -> float:
     dispatches (observed up to ~10x for several chunks after another
     process released the chip), so small mini-batches are timed until two
     consecutive ones agree before the measured run starts.
+
+    Run-to-run throughput on this relay varies (documented ±3-5% windows,
+    one 12%-dip window — benchmarks/RESULTS.md): a single pass can land
+    anywhere in that band, so the quoted number is the MEDIAN of several
+    short passes and ``spread_pct`` = (max - min)/median carries the
+    uncertainty into every reported row (VERDICT r3 item 5).
+
+    Returns ``(sec_per_chunk_median, spread_pct)``.
     """
     import jax
 
@@ -62,43 +71,27 @@ def measure(runner, key, var, steps: int = 12) -> float:
         if prev is not None and i >= 2 and dt < prev * 1.15 and prev < dt * 1.15:
             break
         prev = dt
-    t0 = time.perf_counter()
-    results = [runner(jax.random.fold_in(key, 100 + i), var) for i in range(steps)]
-    jax.block_until_ready(results)
-    return (time.perf_counter() - t0) / steps
-
-
-# (row key, code file, constellation file, known_h, schedule, snr_dB,
-#  batch, chunks_per_launch, extra ChainSpec kwargs) — mirrors RESULTS.md /
-#  microbench CHAIN_ROWS.
-ROWS = [
-    ("blind/PEG2304+QPSK", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
-     False, "flooding", 15.0, None, None, {}),
-    ("known/PEG2304+QPSK", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
-     True, "flooding", 15.0, None, None, {}),
-    ("known/5G+16QAM/minsum", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
-     True, "layered-minsum", 18.0, 1024, 4, {}),
-    # full min-sum blind mode: metric decodes matched to the QC fast path
-    ("blind/5G+16QAM/minsum", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
-     False, "layered-minsum", 18.0, 1024, 4, {"metric_schedule": "match"}),
-    ("known/5G+16QAM/flooding", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
-     True, "flooding", 18.0, 1024, 4, {}),
-    ("blind/PEG8064+64QAM", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     False, "flooding", 18.0, 1024, 1, {}),
-    # min-sum CN rule on the flooding schedule (PARITY.md sweep 8)
-    ("blind/PEG8064+64QAM/fminsum", "PEG8064regular0.5.txt",
-     "6bits_64QAM_Gray.txt", False, "flooding-minsum", 18.0, 1024, 1,
-     {"metric_schedule": "match"}),
-]
+    secs = []
+    for p in range(passes):
+        t0 = time.perf_counter()
+        results = [
+            runner(jax.random.fold_in(key, 100 + 20 * p + i), var)
+            for i in range(steps)
+        ]
+        jax.block_until_ready(results)
+        secs.append((time.perf_counter() - t0) / steps)
+    secs.sort()
+    med = secs[len(secs) // 2]
+    spread = (secs[-1] - secs[0]) / med * 100.0
+    return med, spread
 
 
 def main() -> None:
     import jax
     import numpy as np
 
-    from kmldpc_tpu.code import load_code
-    from kmldpc_tpu.io import parse_constellation
-    from kmldpc_tpu.sim.chain import ChainSpec, make_chunk_runner
+    from kmldpc_tpu.sim.chain import make_chunk_runner
+    from tools.rows import bench_rows, make_spec
 
     batch_env = int(os.environ.get("KMLDPC_BENCH_BATCH", "1024"))
     # "float32" (reference-parity default) or "bfloat16" (opt-in message
@@ -117,39 +110,35 @@ def main() -> None:
 
     rows_out: dict = {"device": str(dev)}
     headline_bits = None
-    for i, (name, cfile, mfile, known, sched, snr, batch, cpl,
-            extra) in enumerate(ROWS):
-        batch = batch or batch_env
-        cpl = cpl or cpl_env
+    # The shared row matrix (tools/rows.py) — one definition serves this
+    # harness, tools/microbench.py, and tests/test_bench_rows.py.
+    for i, r in enumerate(bench_rows()):
+        batch = r.batch or batch_env
+        cpl = r.cpl or cpl_env
         # The first two rows are mandatory (headline + its known-h A/B);
         # later rows yield to the budget so the driver's timeout is never
         # hit mid-row.  Never skip silently.
         if i >= 2 and left() < 150:
-            print(f"bench: SKIPPED {name} (budget: {left():.0f}s left)",
+            print(f"bench: SKIPPED {r.name} (budget: {left():.0f}s left)",
                   file=sys.stderr)
             continue
-        code = load_code(os.path.join(HERE, "assets", cfile))
-        const = parse_constellation(os.path.join(HERE, "assets", mfile))
-        spec = ChainSpec(
-            code=code, constellation=const, known_h=known, fading=True,
-            metric_type=False, metric_iter=5, max_iter=50,
-            encoder_active=True, histogram=False, schedule=sched, dtype=dtype,
-            **extra,
-        )
+        spec = make_spec(r, os.path.join(HERE, "assets"), dtype=dtype)
         runner = make_chunk_runner(spec, batch, cpl)
-        var = np.float32(10.0 ** (-0.1 * snr))
-        sec = measure(runner, jax.random.fold_in(key, i), var) / cpl
+        var = np.float32(10.0 ** (-0.1 * r.snr_db))
+        sec, spread = measure(runner, jax.random.fold_in(key, i), var)
+        sec /= cpl
         blk_s = batch / sec
-        bits_s = blk_s * code.code_dim
+        bits_s = blk_s * spec.code.code_dim
         row = {
             "blocks_per_s": round(blk_s, 1),
             "info_bits_per_s": round(bits_s, 1),
-            "batch": batch, "chunks_per_launch": cpl, "snr_db": snr,
-            "schedule": sched,
+            "spread_pct": round(spread, 1),
+            "batch": batch, "chunks_per_launch": cpl, "snr_db": r.snr_db,
+            "schedule": r.schedule,
         }
-        rows_out[name] = row
-        print("bench-row " + json.dumps({"row": name, **row}), file=sys.stderr)
-        if i == 0:
+        rows_out[r.name] = row
+        print("bench-row " + json.dumps({"row": r.name, **row}), file=sys.stderr)
+        if r.bench_rank == 0:
             headline_bits = bits_s
 
     try:

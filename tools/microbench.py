@@ -46,7 +46,7 @@ def _save(results: dict) -> None:
         os.replace(tmp, _JSON_PATH)
 
 
-def steady(fn, n1: int = 6, n2: int = 18) -> float:
+def steady(fn, n1: int = 6, n2: int = 18, passes: int = 1):
     """Steady-state seconds per call via a two-point slope.
 
     ``fn(i)`` must dispatch device work for index ``i`` and return a 0-d jax
@@ -57,6 +57,14 @@ def steady(fn, n1: int = 6, n2: int = 18) -> float:
     RTT.  So each batch of calls is accumulated into one scalar and read
     back once, and the (n2 - n1)-call slope cancels that fixed RTT plus any
     residual warmup.  Inputs must be unique per call (fold a key by ``i``).
+
+    ``passes > 1`` repeats the slope measurement that many times
+    (interleaved, after the shared warmup) and quotes the MEDIAN — this
+    relay's throughput drifts ±3-5% (one observed 12% window) between
+    passes, so single-pass numbers carry no error bar (VERDICT r3 item 5).
+
+    Returns ``(sec_per_call_median, spread_pct)``; spread is 0.0 for
+    ``passes=1``.
     """
     import numpy as np
 
@@ -74,9 +82,15 @@ def steady(fn, n1: int = 6, n2: int = 18) -> float:
         if prev is not None and probe >= 1 and dt < prev * 1.15 and prev < dt * 1.15:
             break
         prev = dt
-    t1 = run(n1, 2_000)
-    t2 = run(n2, 3_000)
-    return (t2 - t1) / (n2 - n1)
+    vals = []
+    for p in range(passes):
+        t1 = run(n1, 2_000 + 200 * p)
+        t2 = run(n2, 3_000 + 200 * p)
+        vals.append((t2 - t1) / (n2 - n1))
+    vals.sort()
+    med = vals[len(vals) // 2]
+    spread = (vals[-1] - vals[0]) / med * 100.0 if passes > 1 else 0.0
+    return med, spread
 
 
 def bench_decoders(results: dict, batch: int = 1024, iters: int = 20) -> None:
@@ -146,7 +160,7 @@ def bench_decoders(results: dict, batch: int = 1024, iters: int = 20) -> None:
             rows.append(("minsum[generic]", ms, mt_gen))
 
         for label, fn, tabs in rows:
-            sec = steady(lambda i: fn(tabs, jnp.int32(i))[0])
+            sec, _ = steady(lambda i: fn(tabs, jnp.int32(i))[0])
             us_per_iter = sec / iters * 1e6
             key = f"decoder/{name}/{label}"
             results[key] = {"us_per_iter": round(us_per_iter, 1),
@@ -200,7 +214,7 @@ def bench_kmeans(results: dict, batch: int = 1024, nsym: int = 1152) -> None:
             try:
                 import jax.numpy as jnp
 
-                sec = steady(lambda i: jest(jnp.int32(i))[0])
+                sec, _ = steady(lambda i: jest(jnp.int32(i))[0])
             except Exception as e:
                 print(f"kmeans/{cname}/{impl}: FAILED ({type(e).__name__})",
                       file=sys.stderr)
@@ -213,89 +227,44 @@ def bench_kmeans(results: dict, batch: int = 1024, nsym: int = 1152) -> None:
                   file=sys.stderr)
 
 
-CHAIN_ROWS = [
-    # (label, code, const, known_h, schedule, metric_type, snr, batch, cpl,
-    #  extra ChainSpec kwargs)
-    # Most-important-first: new/changed rows lead so a timeout-truncated run
-    # still measures them (results flush incrementally — see _save).
-    # min-sum CN rule on the flooding schedule — the compute lever the
-    # PEG8064 roofline analysis identifies (no transcendental phi passes);
-    # statistical parity only
-    ("PEG8064+64QAM/known/fminsum", "PEG8064regular0.5.txt",
-     "6bits_64QAM_Gray.txt", True, "flooding-minsum", False, 18.0, 1024, 1, {}),
-    # batch 1024: measured 2.1-2.7x over batch 256 (the decoder while-loop
-    # amortizes per-launch and per-iteration fixed cost over more lanes)
-    ("PEG8064+64QAM/known", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     True, "flooding", False, 18.0, 1024, 1, {}),
-    ("PEG8064+64QAM/blind/fminsum", "PEG8064regular0.5.txt",
-     "6bits_64QAM_Gray.txt", False, "flooding-minsum", False, 18.0, 1024, 1,
-     {"metric_schedule": "match"}),
-    ("PEG8064+64QAM/blind", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     False, "flooding", False, 18.0, 1024, 1, {}),
-    # metric_schedule="match": the 4 candidate metric decodes use the QC
-    # min-sum fast path too (opt-in extension; the default metric decode
-    # stays flooding for reference parity)
-    ("5G+16QAM/blind/hard/minsum", "5GLDPCBG2a3_R12_K960.txt",
-     "4bit_16QAM_Gray.txt", False, "layered-minsum", False, 18.0, 1024, 4,
-     {"metric_schedule": "match"}),
-    # opt-in bfloat16 message storage — the HBM-bandwidth lever for the same
-    # roofline; statistical parity only
-    ("PEG8064+64QAM/known/bf16", "PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt",
-     True, "flooding", False, 18.0, 1024, 1, {"dtype": "bfloat16"}),
-    # flooding min-sum on the classic PEG2304 chain: the decoder bench
-    # shows this core compute-bound (250 -> 152 us/iter), so unlike PEG8064
-    # the rule should pay at full batch too
-    ("PEG2304+QPSK/blind/fminsum", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
-     False, "flooding-minsum", False, 15.0, 1024, 16,
-     {"metric_schedule": "match"}),
-    ("PEG2304+QPSK/known/fminsum", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
-     True, "flooding-minsum", False, 15.0, 1024, 16, {}),
-    ("PEG2304+QPSK/blind", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
-     False, "flooding", False, 15.0, 1024, 16, {}),
-    ("PEG2304+QPSK/known", "PEG2304regular0.5.txt", "2bits_QPSK.txt",
-     True, "flooding", False, 15.0, 1024, 16, {}),
-    ("5G+16QAM/known/flooding", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
-     True, "flooding", False, 18.0, 1024, 4, {}),
-    ("5G+16QAM/known/minsum", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
-     True, "layered-minsum", False, 18.0, 1024, 4, {}),
-    ("5G+16QAM/blind/hard", "5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt",
-     False, "flooding", False, 18.0, 1024, 4, {}),
-]
+# The chain row matrix lives in tools/rows.py — ONE definition shared with
+# bench.py and pinned by tests/test_bench_rows.py (the "landed unbenched"
+# fix of rounds 1-3, now without a second copy to drift).
+from tools.rows import CHAIN_ROWS, make_spec  # noqa: E402
 
 
-def bench_chain(results: dict, only: str | None = None) -> None:
+def bench_chain(results: dict, only: str | None = None,
+                passes: int = 3) -> None:
     import jax
     import numpy as np
 
-    from kmldpc_tpu.code import load_code
-    from kmldpc_tpu.io import parse_constellation
-    from kmldpc_tpu.sim.chain import ChainSpec, make_chunk_runner
+    from kmldpc_tpu.sim.chain import make_chunk_runner
 
     key = jax.random.key(0)
-    for (label, cfile, mfile, known, sched, mtype, snr, batch, cpl,
-         extra) in CHAIN_ROWS:
-        if only and only not in label:
+    for r in CHAIN_ROWS:
+        if only and only not in r.name:
             continue
-        code = load_code(os.path.join(ASSETS, cfile))
-        const = parse_constellation(os.path.join(ASSETS, mfile))
-        spec = ChainSpec(
-            code=code, constellation=const, known_h=known, fading=True,
-            metric_type=mtype, metric_iter=5, max_iter=50,
-            encoder_active=True, histogram=False, schedule=sched, **extra,
-        )
+        batch = r.batch or 1024
+        cpl = r.cpl or 16
+        spec = make_spec(r, ASSETS)
         runner = make_chunk_runner(spec, batch, cpl)
-        var = np.float32(10.0 ** (-0.1 * snr))
+        var = np.float32(10.0 ** (-0.1 * r.snr_db))
         # err_blk is a scalar ChunkResult field — satisfies the fence contract
-        sec = steady(lambda i: runner(jax.random.fold_in(key, i), var).err_blk)
+        sec, spread = steady(
+            lambda i: runner(jax.random.fold_in(key, i), var).err_blk,
+            passes=passes,
+        )
         blk_s = batch * cpl / sec
-        results[f"chain/{label}"] = {
+        results[f"chain/{r.name}"] = {
             "blocks_per_s": round(blk_s, 1),
-            "info_bits_per_s": round(blk_s * code.code_dim, 1),
-            "batch": batch, "chunks_per_launch": cpl, "snr_db": snr,
+            "info_bits_per_s": round(blk_s * spec.code.code_dim, 1),
+            "spread_pct": round(spread, 1),
+            "batch": batch, "chunks_per_launch": cpl, "snr_db": r.snr_db,
         }
         _save(results)
-        print(f"chain/{label}: {blk_s:,.0f} blk/s "
-              f"({sec/cpl*1e3:.2f} ms/chunk, B={batch} cpl={cpl})", file=sys.stderr)
+        print(f"chain/{r.name}: {blk_s:,.0f} blk/s ±{spread:.1f}% "
+              f"({sec/cpl*1e3:.2f} ms/chunk, B={batch} cpl={cpl})",
+              file=sys.stderr)
 
 
 def diff_against(results: dict, baseline_path: str) -> None:
