@@ -149,6 +149,12 @@ class TpuConfig:
     # written.
     kmeans_dump_dir: str = ""
     kmeans_dump_blocks: int = 8
+    # Per-block debug chatter (0 disables): log the reference's per-block
+    # file-only lines — "Generated H = (re,im)", "Current Block Number",
+    # per-candidate "Hhat = ... Metric = ..." and "hatIndex = k"
+    # (simulator.cc:124-126, kmcodec.cc:64,132-137) — for the first N
+    # blocks of the first launch of each SNR point, to the logfile only.
+    debug_blocks: int = 0
     # jax.profiler trace output directory ("" disables). The reference has
     # wall-clock timing only (kmldpc.cpp:11-12); this captures full XLA
     # traces viewable in TensorBoard/Perfetto.

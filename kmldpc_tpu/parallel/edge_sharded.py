@@ -270,7 +270,7 @@ def make_model_parallel_chunk_runner(
     n = max(1, chunks_per_launch)
 
     def one_chunk(p, row_col, rmask, key, var):
-        uu, chan_llr, metrics, _ = frontend(p, key, var)
+        uu, chan_llr, metrics, _, debug = frontend(p, key, var)
         llr_col = jnp.asarray(chan_llr, jnp.float32).T  # [tx, B_local]
         if t.punct:
             llr_col = jnp.concatenate(
@@ -289,6 +289,7 @@ def make_model_parallel_chunk_runner(
             metrics=metrics,
             iters=jnp.mean(iters.astype(jnp.float32)),
             kmeans_diag=(),
+            debug=debug,
             # keep-alive, batch-major (see ChunkResult.raw)
             raw=(uu_hat, cc_hat.T, conv, iters, ss[: t.num_row].T),
         )
@@ -311,6 +312,10 @@ def make_model_parallel_chunk_runner(
                 metrics=rs.metrics.reshape(n * local_batch, -1),
                 iters=jnp.mean(rs.iters),
                 kmeans_diag=(),
+                debug=jax.tree.map(
+                    lambda a: a.reshape((n * local_batch,) + a.shape[2:]),
+                    rs.debug,
+                ),
                 raw=rs.raw,
             )
         # counters are identical on every model device of a data row (the
@@ -326,6 +331,7 @@ def make_model_parallel_chunk_runner(
             metrics=res.metrics,
             iters=jax.lax.pmean(res.iters, "data"),
             kmeans_diag=(),
+            debug=res.debug,
             raw=res.raw,
         )
 
@@ -336,7 +342,7 @@ def make_model_parallel_chunk_runner(
         out_specs=ChunkResult(
             err_bit=P(), err_blk=P(), tot_bit=P(), tot_blk=P(),
             err_bit_sq=P(), metrics=P("data"), iters=P(),
-            kmeans_diag=P(), raw=P("data"),
+            kmeans_diag=P(), debug=P("data"), raw=P("data"),
         ),
         # same zeros-meet-sharded while_loop carry issue as
         # make_sharded_chunk_runner

@@ -80,6 +80,9 @@ def make_sharded_chunk_runner(
                 lambda a: a.reshape((n * local_batch,) + a.shape[2:]),
                 rs.kmeans_diag,
             ),
+            debug=jax.tree.map(
+                lambda a: a.reshape((n * local_batch,) + a.shape[2:]), rs.debug
+            ),
             raw=rs.raw,
         )
 
@@ -94,6 +97,7 @@ def make_sharded_chunk_runner(
             metrics=res.metrics,
             iters=jax.lax.pmean(res.iters, "data"),
             kmeans_diag=res.kmeans_diag,
+            debug=res.debug,
             raw=res.raw,
         )
 
@@ -104,7 +108,7 @@ def make_sharded_chunk_runner(
         out_specs=ChunkResult(
             err_bit=P(), err_blk=P(), tot_bit=P(), tot_blk=P(),
             err_bit_sq=P(), metrics=P("data"), iters=P(),
-            kmeans_diag=P("data"), raw=P("data"),
+            kmeans_diag=P("data"), debug=P("data"), raw=P("data"),
         ),
         # The decoder's while_loop initializes its carries with unvarying
         # zeros that meet data-sharded values at the first iteration; the

@@ -59,8 +59,10 @@ class ChunkResult(NamedTuple):
     tot_blk: jnp.ndarray  # scalar int32
     # Sum over blocks of (per-block bit-error count)^2 — the empirical
     # second moment behind the clustered-BER z-test (tools/parity.py).
-    # f32: the per-chunk value fits exactly up to ~16.7M and the host
-    # accumulates across chunks in Python floats; statistical use only.
+    # f32: a high-FER chunk can exceed f32's exact-integer range (PEG2304
+    # at B=1024 reaches ~1.4e9 vs 2^24), costing ~1e-7 relative rounding
+    # per chunk; the host accumulates across chunks in Python floats.
+    # Statistical use only — harmless at z-test precision.
     err_bit_sq: jnp.ndarray  # scalar f32
     metrics: jnp.ndarray  # [B, 4] f32 — |metric| table (histogram mode); zeros if known-h
     iters: jnp.ndarray  # scalar f32 — mean BP iterations executed
@@ -69,6 +71,11 @@ class ChunkResult(NamedTuple):
     # ChainSpec.kmeans_dump is set in blind mode, else ().  The Monte-Carlo
     # driver feeds it to utils.records.dump_kmeans (DumpToMat parity).
     kmeans_diag: tuple = ()
+    # Per-block debug-chatter surface (ChainSpec.debug_blocks > 0):
+    # (hr_true, hi_true) known-h, + (h4_r, h4_i) in blind mode.  The
+    # Monte-Carlo driver formats the reference's per-block logfile lines
+    # from it (simulator.cc:124-126, kmcodec.cc:64,132-137); else ().
+    debug: tuple = ()
     # Keep-alive: the final DecodeResult (or () in histogram mode).  The
     # TPU AOT compile helper of the current libtpu build SIGSEGVs when the
     # decoder's while-loop carries are dead-code-eliminated down to scalar
@@ -123,6 +130,10 @@ class ChainSpec:
     # assignments) in ChunkResult.kmeans_diag for .mat export
     # (kmeans.cc:96-111).  Blind mode only.
     kmeans_dump: bool = False
+    # Per-block debug chatter: surface (true h, ĥ candidates) in
+    # ChunkResult.debug so the driver can log the reference's per-block
+    # lines for the first N blocks ([tpu].debug_blocks).
+    debug_blocks: int = 0
     # Metric-decode schedule: "flooding" (reference-parity: kmcodec.cc
     # metric decodes run the same BP as the final decode) or "match" (use
     # the final schedule's decoder — with schedule="layered-minsum" the QC
@@ -148,6 +159,7 @@ class ChainSpec:
             phase1_iters=cfg.tpu.phase1_iters,
             tile=cfg.tpu.tile,
             kmeans_dump=bool(cfg.tpu.kmeans_dump_dir) and not cfg.decoder.true_h_arg,
+            debug_blocks=cfg.tpu.debug_blocks,
             metric_schedule=cfg.tpu.metric_schedule,
             kmeans_impl=cfg.tpu.kmeans_impl,
         )
@@ -267,7 +279,12 @@ def build_frontend_fn(
         # histogram mode skips the final decode, so no LLRs are needed
         if not spec.histogram and chan_llr is None:
             _, chan_llr = demap(yr, yi, hr, hi, var)
-        return uu, chan_llr, metrics, kmeans_diag
+        debug = ()
+        if spec.debug_blocks > 0:
+            debug = (hr_true, hi_true)
+            if not spec.known_h:
+                debug = debug + (h4_r, h4_i)
+        return uu, chan_llr, metrics, kmeans_diag, debug
 
     return frontend
 
@@ -290,7 +307,7 @@ def build_chain_fn(
     frontend = build_frontend_fn(spec, batch)
 
     def run_chunk(params: ChainParams, key: jax.Array, var: jnp.ndarray) -> ChunkResult:
-        uu, chan_llr, metrics, kmeans_diag = frontend(params, key, var)
+        uu, chan_llr, metrics, kmeans_diag, debug = frontend(params, key, var)
 
         raw = ()
         if spec.histogram:
@@ -340,6 +357,7 @@ def build_chain_fn(
             metrics=metrics,
             iters=mean_iters,
             kmeans_diag=kmeans_diag,
+            debug=debug,
             raw=raw,
         )
 
@@ -405,6 +423,9 @@ def _fold_launch(chain, batch: int, n: int):
             kmeans_diag=jax.tree.map(
                 lambda a: a.reshape((n * batch,) + a.shape[2:]),
                 rs.kmeans_diag,
+            ),
+            debug=jax.tree.map(
+                lambda a: a.reshape((n * batch,) + a.shape[2:]), rs.debug
             ),
             raw=rs.raw,
         )

@@ -221,6 +221,7 @@ class Simulator:
         key = jax.random.fold_in(self.root_key, int(round(snr * 1000)) & 0xFFFFFFFF)
         last_print = c.tot_blk
         km_dump_pending = bool(cfg.tpu.kmeans_dump_dir) and self.spec.kmeans_dump
+        debug_pending = self.spec.debug_blocks > 0
 
         # Double-buffered dispatch: launch chunk k before reading chunk
         # k-1's counters, so the device round-trip latency (substantial when
@@ -228,10 +229,13 @@ class Simulator:
         # compute.  The stop condition therefore lags one chunk — the same
         # chunk-granular overrun already documented above.
         def consume(res: ChunkResult) -> None:
-            nonlocal last_print, km_dump_pending
+            nonlocal last_print, km_dump_pending, debug_pending
             if km_dump_pending and res.kmeans_diag:
                 self._dump_kmeans(snr, res)
                 km_dump_pending = False  # first launch of the point only
+            if debug_pending and res.debug:
+                self._log_debug_blocks(res, c.tot_blk)
+                debug_pending = False  # first launch of the point only
             c.chunks += 1  # consumed launches — the checkpoint/resume cursor
             c.err_bit += int(res.err_bit)
             c.err_blk += int(res.err_blk)
@@ -311,6 +315,48 @@ class Simulator:
         self.log.info(
             f"k-means diagnostics: wrote {nb} blocks to {d}", to_stdout=False
         )
+
+    def _log_debug_blocks(self, res: ChunkResult, tot_before: int) -> None:
+        """Per-block debug chatter, logfile only ([tpu].debug_blocks).
+
+        Replicates the reference's per-block lines and formats:
+        ``Generated H = (re,im)`` (simulator.cc:124-126, std::complex
+        operator<< at default 6-significant-digit precision), and in blind
+        mode ``Current Block Number = NNNNNNN`` (simulator.cc:149-152),
+        one ``Hhat = (re,im) Metric = v`` per candidate at fixed precision
+        14 with the PRE-abs metric value (kmcodec.cc:132-140: the line is
+        printed before std::abs; soft metrics are log-sums <= 0, so
+        pre-abs = -|metric| there), and ``hatIndex = k``
+        (kmcodec.cc:64).
+        """
+        n = min(self.spec.debug_blocks, int(np.asarray(res.tot_blk)))
+        hr_t = np.asarray(res.debug[0])
+        hi_t = np.asarray(res.debug[1])
+        blind = len(res.debug) > 2
+        if blind:
+            h4_r = np.asarray(res.debug[2])
+            h4_i = np.asarray(res.debug[3])
+            metrics = np.asarray(res.metrics)
+            pre = -metrics if self.spec.metric_type else metrics
+        for j in range(min(n, hr_t.shape[0])):
+            self.log.info(
+                f"Generated H = ({hr_t[j]:g},{hi_t[j]:g})", to_stdout=False
+            )
+            if not blind:
+                continue
+            self.log.info(
+                f"Current Block Number = {tot_before + j + 1:07d}",
+                to_stdout=False,
+            )
+            for k in range(4):
+                self.log.info(
+                    f"Hhat = ({h4_r[j, k]:.14f},{h4_i[j, k]:.14f}) "
+                    f"Metric = {pre[j, k]:.14f}",
+                    to_stdout=False,
+                )
+            self.log.info(
+                f"hatIndex = {int(np.argmin(metrics[j]))}", to_stdout=False
+            )
 
     def _print_result(self, snr: float, c: _Counters) -> None:
         # sourcesink.cc:49-65 format

@@ -98,6 +98,30 @@ def test_chunk_runner_blind_16qam(assets):
     assert int(res.err_blk) == 0, (int(res.err_blk), int(res.err_bit))
 
 
+def test_debug_blocks_chatter(assets, tmp_path):
+    """[tpu].debug_blocks logs the reference's per-block lines (file only):
+    Generated H, Current Block Number, per-candidate Hhat/Metric, hatIndex
+    (simulator.cc:124-126,149-152; kmcodec.cc:64,132-137)."""
+    import re
+
+    cfg = _cfg(
+        assets,
+        range=dict(maximum_block_number=8, maximum_error_number=10**9),
+        decoder=dict(true_h_arg=False),
+        tpu=dict(batch=8, chunks_per_launch=1, data_parallel=1, debug_blocks=3),
+    )
+    log = SimLogger(log_dir=str(tmp_path), stdout=False)
+    Simulator(cfg, log).run_snr_point(24.0)
+    log.close()
+    text = open(log._path).read()
+    assert len(re.findall(r"Generated H = \(-?\d[^,]*,-?\d[^)]*\)", text)) == 3
+    assert "Current Block Number = 0000001" in text
+    assert len(re.findall(
+        r"Hhat = \(-?\d+\.\d{14},-?\d+\.\d{14}\) Metric = -?\d+\.\d{14}", text
+    )) == 12  # 3 blocks x 4 candidates
+    assert len(re.findall(r"hatIndex = [0-3]", text)) == 3
+
+
 def test_multi_point_runner_slots_match_sequential_launches(assets):
     """Each slot of the multi-point runner is bit-identical to the same
     (key, var) launch through make_chunk_runner — the invariant the folded
