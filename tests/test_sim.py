@@ -300,6 +300,51 @@ def test_checkpoint_mid_point_resume(assets, tmp_path):
     ), "resumed sweep must be bit-identical to an uninterrupted one"
 
 
+def test_snr_fold_checkpoint_mid_sweep_resume(assets, tmp_path):
+    """Kill a FOLDED sweep mid-flight -> the resumed sweep lands on
+    counters bit-identical to an uninterrupted folded run (the per-point
+    launch cursor in the checkpoint drives the same key sequence)."""
+
+    def make_cfg(ck):
+        return _cfg(
+            assets,
+            range=dict(maximum_block_number=32, maximum_error_number=10**9,
+                       minimum_snr=2.0, maximum_snr=6.0, step_snr=2.0),
+            decoder=dict(true_h_arg=True),
+            tpu=dict(batch=8, chunks_per_launch=1, checkpoint_path=ck,
+                     data_parallel=1, snr_fold=3),
+        )
+
+    class Boom(RuntimeError):
+        pass
+
+    ck = str(tmp_path / "ckf.json")
+    sim = Simulator(make_cfg(ck), SimLogger(log_dir=None, stdout=False))
+    real, calls = sim.runner, {"n": 0}
+
+    def killing(keys, vars_):
+        if calls["n"] == 2:  # third dispatch dies
+            raise Boom()
+        calls["n"] += 1
+        return real(keys, vars_)
+
+    killing.blocks_per_launch = real.blocks_per_launch
+    sim.runner = killing
+    with pytest.raises(Boom):
+        sim.simulate()
+    state = json.load(open(ck))
+    assert any(not v.get("done") for v in state["snr"].values())
+
+    resumed = Simulator(make_cfg(ck),
+                        SimLogger(log_dir=None, stdout=False)).simulate()
+    control = Simulator(make_cfg(str(tmp_path / "ckf2.json")),
+                        SimLogger(log_dir=None, stdout=False)).simulate()
+    for r, c in zip(resumed, control):
+        assert (r.snr, r.tot_blk, r.err_blk, r.err_bit, r.tot_bit) == (
+            c.snr, c.tot_blk, c.err_blk, c.err_bit, c.tot_bit
+        ), "folded resume must be bit-identical to an uninterrupted sweep"
+
+
 def test_thread_block_number_default_batch(assets):
     """[tpu].batch = 0 (default) falls back to [range].thread_block_number
     (the reference's per-task chunk size, simulator.cc:90-100)."""
