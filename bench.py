@@ -37,14 +37,21 @@ def left() -> float:
     return BUDGET_S - (time.monotonic() - T0)
 
 
-def measure(runner, key, var, passes: int = 3, steps: int = 5):
-    """Steady-state seconds per chunk: median of ``passes`` interleaved
-    passes of ``steps`` pipelined chunks, plus the min-max spread.
+def measure(runner, key, var, passes: int = 3, n1: int = 4, n2: int = 12):
+    """Steady-state seconds per chunk: median of ``passes`` two-point
+    slopes, plus the min-max spread across passes.
 
     Chunks are dispatched back-to-back without intermediate syncs — exactly
     how the Monte-Carlo driver issues them (double-buffered, see
-    sim/montecarlo.py) — so the host<->device round-trip latency overlaps
-    compute instead of being serialized into every chunk.
+    sim/montecarlo.py).  Each pass times a run of ``n1`` and a run of
+    ``n2`` pipelined chunks and takes the slope ``(t2 - t1)/(n2 - n1)``:
+    the fixed per-run cost (pipeline fill/drain plus the final
+    block_until_ready sync, ~30 ms of relay round-trip) cancels, so the
+    quoted number is true steady-state throughput.  (An earlier version
+    divided one run's wall-clock by its chunk count; over a short run that
+    fixed cost depressed fast rows by up to ~45% — the r3 bench-vs-
+    microbench discrepancy VERDICT flagged — while tools/microbench.py's
+    slope method read the same programs correctly.  Same method here now.)
 
     Warmup is adaptive: the dev-tunnel relay serves the first executions of
     a freshly compiled program through a slow path for a variable number of
@@ -52,34 +59,32 @@ def measure(runner, key, var, passes: int = 3, steps: int = 5):
     process released the chip), so small mini-batches are timed until two
     consecutive ones agree before the measured run starts.
 
-    Run-to-run throughput on this relay varies (documented ±3-5% windows,
-    one 12%-dip window — benchmarks/RESULTS.md): a single pass can land
-    anywhere in that band, so the quoted number is the MEDIAN of several
-    short passes and ``spread_pct`` = (max - min)/median carries the
-    uncertainty into every reported row (VERDICT r3 item 5).
+    Run-to-run throughput on this relay varies (±1-7% in-run, up to ±20%
+    across windows — benchmarks/RESULTS.md): the MEDIAN of ``passes``
+    interleaved slopes is quoted and ``spread_pct`` = (max - min)/median
+    carries the in-run uncertainty into every reported row.
 
     Returns ``(sec_per_chunk_median, spread_pct)``.
     """
     import jax
 
+    def run(n: int, base: int) -> float:
+        t0 = time.perf_counter()
+        res = [runner(jax.random.fold_in(key, base + i), var) for i in range(n)]
+        jax.block_until_ready(res)
+        return time.perf_counter() - t0
+
     prev = None
     for i in range(12):  # each probe = 3 pipelined chunks
-        t0 = time.perf_counter()
-        res = [runner(jax.random.fold_in(key, 3 * i + j), var) for j in range(3)]
-        jax.block_until_ready(res)
-        dt = time.perf_counter() - t0
+        dt = run(3, 3 * i)
         if prev is not None and i >= 2 and dt < prev * 1.15 and prev < dt * 1.15:
             break
         prev = dt
     secs = []
     for p in range(passes):
-        t0 = time.perf_counter()
-        results = [
-            runner(jax.random.fold_in(key, 100 + 20 * p + i), var)
-            for i in range(steps)
-        ]
-        jax.block_until_ready(results)
-        secs.append((time.perf_counter() - t0) / steps)
+        t1 = run(n1, 1_000 + 100 * p)
+        t2 = run(n2, 5_000 + 100 * p)
+        secs.append((t2 - t1) / (n2 - n1))
     secs.sort()
     med = secs[len(secs) // 2]
     spread = (secs[-1] - secs[0]) / med * 100.0

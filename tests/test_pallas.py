@@ -45,7 +45,9 @@ def test_pallas_kmeans_odd_batch(assets, b):
     unpadded batch left the last ``b mod tb`` gains unwritten (silent
     garbage for e.g. ``[tpu].batch = 100``).  The kernel now pads the batch
     to a tile multiple and slices back; every row must agree with the
-    pure-JAX estimator.
+    pure-JAX estimator.  Also validated on a real v5e chip (round 4): the
+    Mosaic-compiled kernel matched the JAX estimator exactly (max dev 0.0)
+    at b = 100 and 12 for QPSK/16QAM/64QAM.
     """
     from jax.experimental.pallas import tpu as pltpu
 
