@@ -29,7 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..sim.chain import ChainSpec, ChunkResult, build_chain_fn, make_chain_params
+from ..sim.chain import (
+    ChainSpec,
+    ChunkResult,
+    _fold_launch,
+    build_chain_fn,
+    make_chain_params,
+)
 
 
 def get_mesh(num_devices: int | None = None, devices=None) -> Mesh:
@@ -60,31 +66,9 @@ def make_sharded_chunk_runner(
     params = make_chain_params(spec)
     n = max(1, chunks_per_launch)
 
-    def local_chunks(p, key: jax.Array, var: jnp.ndarray) -> ChunkResult:
-        if n == 1:
-            return chain(p, key, var)
-
-        def step(carry, k):
-            return carry, chain(p, k, var)
-
-        _, rs = jax.lax.scan(step, 0, jax.random.split(key, n))
-        return ChunkResult(
-            err_bit=jnp.sum(rs.err_bit),
-            err_blk=jnp.sum(rs.err_blk),
-            tot_bit=jnp.sum(rs.tot_bit),
-            tot_blk=jnp.sum(rs.tot_blk),
-            err_bit_sq=jnp.sum(rs.err_bit_sq),
-            metrics=rs.metrics.reshape(n * local_batch, -1),
-            iters=jnp.mean(rs.iters),
-            kmeans_diag=jax.tree.map(
-                lambda a: a.reshape((n * local_batch,) + a.shape[2:]),
-                rs.kmeans_diag,
-            ),
-            debug=jax.tree.map(
-                lambda a: a.reshape((n * local_batch,) + a.shape[2:]), rs.debug
-            ),
-            raw=rs.raw,
-        )
+    # per-device launch body: n sub-chunks folded, same key derivation as
+    # the single-chip runner (sim/chain.py _fold_launch — shared code)
+    local_chunks = _fold_launch(chain, local_batch, n)
 
     def per_device(p, keys: jax.Array, var: jnp.ndarray) -> ChunkResult:
         res = local_chunks(p, keys[0], var)
@@ -128,3 +112,75 @@ def make_sharded_chunk_runner(
     run_chunk.params = params  # type: ignore[attr-defined]
     run_chunk.blocks_per_launch = n * batch  # type: ignore[attr-defined]
     return run_chunk
+
+
+def make_sharded_multi_point_runner(
+    spec: ChainSpec, batch: int, mesh: Mesh, chunks_per_launch: int = 1,
+    m: int = 2,
+) -> Callable[[jax.Array, jnp.ndarray], ChunkResult]:
+    """Data-parallel + SNR-point folding composed: one dispatch advances
+    ``m`` whole launches, each sharded over the ``data`` axis.
+
+    The multi-chip form of ``sim.chain.make_multi_point_runner`` (the
+    reference's one-pool-thread-per-SNR-point concurrency,
+    simulator.cc:27,35-42): ``run_launches(keys [m], vars [m]) ->
+    ChunkResult`` with per-launch leading axis [m] on the counters.  Slot
+    j splits its key over the mesh exactly as
+    :func:`make_sharded_chunk_runner` does, so each slot's counters are
+    bit-identical to the sequential sharded path's launch with the same
+    (key, var).
+    """
+    ndev = mesh.devices.size
+    if batch % ndev != 0:
+        raise ValueError(f"batch {batch} not divisible by mesh size {ndev}")
+    local_batch = batch // ndev
+    n = max(1, chunks_per_launch)
+    params = make_chain_params(spec)
+    local_launch = _fold_launch(build_chain_fn(spec, local_batch), local_batch, n)
+
+    def per_device(p, keys: jax.Array, vars_: jnp.ndarray) -> ChunkResult:
+        # keys: [m, 1] (slot-major, this device's column)
+        def step(carry, kv):
+            k, v = kv
+            res = local_launch(p, k, v)
+            return carry, ChunkResult(
+                err_bit=jax.lax.psum(res.err_bit, "data"),
+                err_blk=jax.lax.psum(res.err_blk, "data"),
+                tot_bit=jax.lax.psum(res.tot_bit, "data"),
+                tot_blk=jax.lax.psum(res.tot_blk, "data"),
+                err_bit_sq=jax.lax.psum(res.err_bit_sq, "data"),
+                metrics=res.metrics,
+                iters=jax.lax.pmean(res.iters, "data"),
+                kmeans_diag=res.kmeans_diag,
+                debug=res.debug,
+                raw=res.raw,
+            )
+
+        _, rs = jax.lax.scan(step, 0, (keys[:, 0], vars_))
+        return rs  # stacked [m, ...]
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(None, "data"), P()),
+        out_specs=ChunkResult(
+            err_bit=P(), err_blk=P(), tot_bit=P(), tot_blk=P(),
+            err_bit_sq=P(), metrics=P(None, "data"), iters=P(),
+            kmeans_diag=P(None, "data"), debug=P(None, "data"),
+            raw=P(None, "data"),
+        ),
+        # same zeros-meet-sharded while_loop carry issue as above
+        check_vma=False,
+    )
+
+    jitted = jax.jit(sharded)
+
+    def run_launches(keys: jax.Array, vars_) -> ChunkResult:
+        # slot keys split over devices exactly like the sequential path
+        keys2 = jax.vmap(lambda k: jax.random.split(k, ndev))(keys)  # [m, ndev]
+        return jitted(params, keys2, jnp.asarray(vars_, jnp.float32))
+
+    run_launches.params = params  # type: ignore[attr-defined]
+    run_launches.blocks_per_launch = n * batch  # type: ignore[attr-defined]
+    run_launches.num_slots = m  # type: ignore[attr-defined]
+    return run_launches

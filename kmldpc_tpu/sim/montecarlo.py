@@ -120,14 +120,31 @@ class Simulator:
             self.runner = runner_factory(self.spec, self.batch)
         elif cfg.tpu.snr_fold > 1:
             # multi-point launch folding: one dispatch advances several live
-            # SNR points (see _simulate_folded); single-device program.
+            # SNR points (see _simulate_folded); composes with the data
+            # mesh when several devices are visible.
             self.snr_fold = max(1, min(cfg.tpu.snr_fold, len(cfg.snr_points())))
-            self.runner = make_multi_point_runner(
-                self.spec, self.batch, cpl, self.snr_fold
-            )
-            self.log.info(
-                f"SNR-fold: {self.snr_fold} launch slots per dispatch"
-            )
+            ndev = cfg.tpu.data_parallel or len(jax.devices())
+            if ndev > 1 and self.batch >= ndev:
+                from ..parallel.sharding import (
+                    get_mesh,
+                    make_sharded_multi_point_runner,
+                )
+
+                self.batch -= self.batch % ndev
+                self.runner = make_sharded_multi_point_runner(
+                    self.spec, self.batch, get_mesh(ndev), cpl, self.snr_fold
+                )
+                self.log.info(
+                    f"Mesh: {ndev} devices, data-parallel batch {self.batch}; "
+                    f"SNR-fold {self.snr_fold} launch slots per dispatch"
+                )
+            else:
+                self.runner = make_multi_point_runner(
+                    self.spec, self.batch, cpl, self.snr_fold
+                )
+                self.log.info(
+                    f"SNR-fold: {self.snr_fold} launch slots per dispatch"
+                )
         elif cfg.tpu.model_parallel > 1:
             # (data x model) 2-D mesh: front-end data-parallel, final
             # decode's message state row-sharded over the model axis

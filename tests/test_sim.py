@@ -172,6 +172,26 @@ def test_snr_fold_bit_identical_sweep(assets):
         assert a.err_bit_sq == b.err_bit_sq
 
 
+def test_snr_fold_composes_with_data_mesh(assets):
+    """snr_fold over a data-parallel mesh: a block-capped sweep lands on
+    bit-identical per-point counters vs the sequential SHARDED path (each
+    slot splits its launch key over the devices exactly the same way)."""
+    common = dict(
+        range=dict(minimum_snr=2.0, maximum_snr=6.0, step_snr=2.0,
+                   maximum_block_number=32, maximum_error_number=10**9),
+        decoder=dict(true_h_arg=True),
+    )
+    cfg_seq = _cfg(assets, tpu=dict(batch=16, chunks_per_launch=2,
+                                    data_parallel=2), **common)
+    cfg_fold = _cfg(assets, tpu=dict(batch=16, chunks_per_launch=2,
+                                     data_parallel=2, snr_fold=3), **common)
+    r_seq = Simulator(cfg_seq, SimLogger(log_dir=None, stdout=False)).simulate()
+    r_fold = Simulator(cfg_fold, SimLogger(log_dir=None, stdout=False)).simulate()
+    for a, b in zip(r_seq, r_fold):
+        assert (a.snr, a.tot_blk, a.err_blk, a.err_bit, a.tot_bit) == \
+               (b.snr, b.tot_blk, b.err_blk, b.err_bit, b.tot_bit), a.snr
+
+
 def test_snr_fold_error_cap_terminates(assets):
     """The error-cap stopping rule terminates the folded sweep (with the
     documented in-flight-slots overrun, launch-granular)."""
