@@ -257,6 +257,16 @@ def make_model_parallel_chunk_runner(
             '("flooding" or "flooding-minsum"); the layered min-sum QC '
             "fast path has no row-sharded formulation"
         )
+    # this runner bypasses build_chain_fn, so its schedule/dtype checks
+    # must be replicated — a typo'd knob must not silently pick a default
+    if spec.schedule not in ("flooding", "flooding-minsum"):
+        raise ValueError(f"unknown schedule {spec.schedule!r}")
+    if spec.dtype != "float32":
+        raise ValueError(
+            "model_parallel decodes in float32 only "
+            f"(got tpu.dtype {spec.dtype!r}); the row-sharded core keeps "
+            "its c2v state f32"
+        )
     cn_rule = "minsum" if spec.schedule == "flooding-minsum" else "sumprod"
     if batch % ndata != 0:
         raise ValueError(f"batch {batch} not divisible by data axis {ndata}")

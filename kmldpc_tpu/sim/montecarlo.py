@@ -110,11 +110,13 @@ class Simulator:
                          -(-cfg.range.maximum_block_number // self.batch)))
         self.snr_fold = 0
         if cfg.tpu.snr_fold > 1 and (
-            cfg.histogram.enable or self.spec.kmeans_dump or cfg.tpu.model_parallel > 1
+            cfg.histogram.enable or self.spec.kmeans_dump
+            or cfg.tpu.model_parallel > 1 or cfg.tpu.debug_blocks > 0
         ):
             raise ValueError(
                 "[tpu].snr_fold is incompatible with histogram mode, "
-                "kmeans_dump_dir, and model_parallel"
+                "kmeans_dump_dir, debug_blocks, and model_parallel "
+                "(use the sequential path for the diagnostic modes)"
             )
         if runner_factory is not None:
             self.runner = runner_factory(self.spec, self.batch)
@@ -435,6 +437,7 @@ class Simulator:
         inflight: dict[float, int] = {}
         pkeys: dict[float, jax.Array] = {}
         last_print: dict[float, int] = {}
+        blk0: dict[float, int] = {}  # blocks already done before this run
         for snr in points:
             saved = state["snr"].get(f"{snr:.3f}")
             c = _Counters(**{k: saved[k] for k in
@@ -442,6 +445,7 @@ class Simulator:
                           err_bit_sq=saved.get("err_bit_sq", 0.0)) \
                 if saved else _Counters()
             cs[snr] = c
+            blk0[snr] = c.tot_blk
             done[snr] = bool(saved and saved.get("done"))
             launched[snr] = c.chunks
             inflight[snr] = 0
@@ -480,9 +484,14 @@ class Simulator:
             err_sq = np.asarray(res.err_bit_sq)
             iters = np.asarray(res.iters)
             for j, (snr, valid) in enumerate(slots):
-                inflight[snr] -= 1
                 if not valid:
-                    continue  # dead padding slot — discard
+                    # dead padding slot — discard; it never incremented
+                    # inflight (decrementing here drove inflight negative,
+                    # which re-opened capped points via wants() and made
+                    # the dispatch loop run away — caught in round-4
+                    # review, regression-tested below)
+                    continue
+                inflight[snr] -= 1
                 c = cs[snr]
                 c.chunks += 1
                 c.err_bit += int(err_bit[j])
@@ -536,17 +545,26 @@ class Simulator:
             if len(pending) > 1:  # double-buffered: consume the older one
                 consume(pending.pop(0))
         wall = time.monotonic() - t0
+        # Throughput attribution: the dispatches are shared across points,
+        # so the honest per-point figure is the AGGREGATE device rate over
+        # the blocks this run actually computed, replicated onto every
+        # active point; points fully restored from the checkpoint report
+        # 0/0 like the sequential path does.
+        run_blocks = sum(cs[p].tot_blk - blk0[p] for p in points)
+        agg_bps = run_blocks / wall if wall > 0 else 0.0
 
         results: list[SnrResult] = []
         for snr in points:
             c = cs[snr]
+            restored = done[snr]
             done[snr] = True
             save_point(snr)
             self._print_result(snr, c)
             results.append(SnrResult(
                 snr=snr, ber=c.ber, fer=c.fer, tot_blk=c.tot_blk,
                 err_blk=c.err_blk, err_bit=c.err_bit, tot_bit=c.tot_bit,
-                wall_s=wall, blocks_per_s=c.tot_blk / wall if wall > 0 else 0.0,
+                wall_s=0.0 if restored else wall,
+                blocks_per_s=0.0 if restored else agg_bps,
                 err_bit_sq=c.err_bit_sq,
             ))
         if self._ckpt_path():

@@ -202,6 +202,14 @@ def test_model_parallel_validation(spec):
         make_model_parallel_chunk_runner(hist, 16, mesh)
     with pytest.raises(ValueError, match="needs 16 devices"):
         get_mesh_2d(2, 8)
+    # this runner bypasses build_chain_fn — it must replicate the strict
+    # schedule/dtype validation, not silently pick defaults (r4 review)
+    typo = dataclasses.replace(spec, schedule="floding-minsum")
+    with pytest.raises(ValueError, match="unknown schedule"):
+        make_model_parallel_chunk_runner(typo, 16, mesh)
+    bf16 = dataclasses.replace(spec, dtype="bfloat16")
+    with pytest.raises(ValueError, match="float32 only"):
+        make_model_parallel_chunk_runner(bf16, 16, mesh)
 
 
 def test_model_parallel_config_end_to_end():

@@ -192,6 +192,36 @@ def test_snr_fold_composes_with_data_mesh(assets):
                (b.snr, b.tot_blk, b.err_blk, b.err_bit, b.tot_bit), a.snr
 
 
+def test_snr_fold_non_divisible_padding_terminates(assets):
+    """Regression (round-4 review): when the total launch count is not a
+    multiple of the fold, the padded dead slots must not perturb the
+    in-flight accounting.  The old code decremented `inflight` for dead
+    slots that never incremented it, driving it negative — wants()
+    re-opened capped points and the dispatch loop ran away forever.
+    3 points x 3 launches with snr_fold=2 forces padding; the sweep must
+    terminate at the cap with counters bit-identical to sequential."""
+    common = dict(
+        range=dict(minimum_snr=2.0, maximum_snr=6.0, step_snr=2.0,
+                   maximum_block_number=24, maximum_error_number=10**9),
+        decoder=dict(true_h_arg=True),
+    )
+    cfg_seq = _cfg(assets, tpu=dict(batch=8, chunks_per_launch=1,
+                                    data_parallel=1), **common)
+    cfg_fold = _cfg(assets, tpu=dict(batch=8, chunks_per_launch=1,
+                                     data_parallel=1, snr_fold=2), **common)
+    r_seq = Simulator(cfg_seq, SimLogger(log_dir=None, stdout=False)).simulate()
+    r_fold = Simulator(cfg_fold, SimLogger(log_dir=None, stdout=False)).simulate()
+    for a, b in zip(r_seq, r_fold):
+        assert a.tot_blk == b.tot_blk == 24, (a.snr, a.tot_blk, b.tot_blk)
+        assert (a.err_blk, a.err_bit) == (b.err_blk, b.err_bit), a.snr
+
+
+def test_snr_fold_rejects_debug_blocks(assets):
+    cfg = _cfg(assets, tpu=dict(snr_fold=2, debug_blocks=2))
+    with pytest.raises(ValueError, match="debug_blocks"):
+        Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+
+
 def test_snr_fold_error_cap_terminates(assets):
     """The error-cap stopping rule terminates the folded sweep (with the
     documented in-flight-slots overrun, launch-granular)."""
