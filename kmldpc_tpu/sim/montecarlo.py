@@ -76,6 +76,15 @@ class _Counters:
     def fer(self) -> float:
         return self.err_blk / self.tot_blk if self.tot_blk else 0.0
 
+    @staticmethod
+    def from_saved(saved: dict) -> "_Counters":
+        """Rebuild from one checkpoint point-state dict."""
+        return _Counters(
+            **{k: saved[k] for k in
+               ("tot_blk", "err_blk", "err_bit", "tot_bit", "chunks")},
+            err_bit_sq=saved.get("err_bit_sq", 0.0),
+        )
+
 
 class Simulator:
     """Config-driven sweep runner (the reference ``Simulator``'s role)."""
@@ -440,10 +449,7 @@ class Simulator:
         blk0: dict[float, int] = {}  # blocks already done before this run
         for snr in points:
             saved = state["snr"].get(f"{snr:.3f}")
-            c = _Counters(**{k: saved[k] for k in
-                             ("tot_blk", "err_blk", "err_bit", "tot_bit", "chunks")},
-                          err_bit_sq=saved.get("err_bit_sq", 0.0)) \
-                if saved else _Counters()
+            c = _Counters.from_saved(saved) if saved else _Counters()
             cs[snr] = c
             blk0[snr] = c.tot_blk
             done[snr] = bool(saved and saved.get("done"))
@@ -569,13 +575,17 @@ class Simulator:
             ))
         if self._ckpt_path():
             self._save_ckpt(state)
+        self._print_tables(results)
+        return results
+
+    def _print_tables(self, results: list[SnrResult]) -> None:
+        # final tables (simulator.cc:43-66)
         self.log.info("BER Result")
         for r in results:
             self.log.info(f"{r.snr:.3f} {r.ber:.14f}")
         self.log.info("FER Result")
         for r in results:
             self.log.info(f"{r.snr:.3f} {r.fer:.14f}")
-        return results
 
     def _simulate(self) -> list[SnrResult]:
         cfg = self.cfg
@@ -585,9 +595,7 @@ class Simulator:
             snr_key = f"{snr:.3f}"
             saved = state["snr"].get(snr_key)
             if saved and saved.get("done"):
-                c = _Counters(**{k: saved[k] for k in
-                                 ("tot_blk", "err_blk", "err_bit", "tot_bit", "chunks")},
-                              err_bit_sq=saved.get("err_bit_sq", 0.0))
+                c = _Counters.from_saved(saved)
                 self.log.info(f"SNR {snr_key}: restored from checkpoint")
                 results.append(SnrResult(
                     snr=snr, ber=c.ber, fer=c.fer, tot_blk=c.tot_blk,
@@ -595,10 +603,7 @@ class Simulator:
                     wall_s=0.0, blocks_per_s=0.0, err_bit_sq=c.err_bit_sq,
                 ))
                 continue
-            c = _Counters(**{k: saved[k] for k in
-                             ("tot_blk", "err_blk", "err_bit", "tot_bit", "chunks")},
-                          err_bit_sq=saved.get("err_bit_sq", 0.0)) \
-                if saved else _Counters()
+            c = _Counters.from_saved(saved) if saved else _Counters()
             if saved:
                 self.log.info(
                     f"SNR {snr_key}: resuming mid-point from checkpoint "
@@ -634,11 +639,5 @@ class Simulator:
                 err_bit_sq=c.err_bit_sq,
             )
             self._save_ckpt(state)
-        # final tables (simulator.cc:43-66)
-        self.log.info("BER Result")
-        for r in results:
-            self.log.info(f"{r.snr:.3f} {r.ber:.14f}")
-        self.log.info("FER Result")
-        for r in results:
-            self.log.info(f"{r.snr:.3f} {r.fer:.14f}")
+        self._print_tables(results)
         return results
