@@ -93,7 +93,8 @@ def steady(fn, n1: int = 6, n2: int = 18, passes: int = 1):
     return med, spread
 
 
-def bench_decoders(results: dict, batch: int = 1024, iters: int = 20) -> None:
+def bench_decoders(results: dict, batch: int = 1024, iters: int = 20,
+                   passes: int = 1) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -160,17 +161,20 @@ def bench_decoders(results: dict, batch: int = 1024, iters: int = 20) -> None:
             rows.append(("minsum[generic]", ms, mt_gen))
 
         for label, fn, tabs in rows:
-            sec, _ = steady(lambda i: fn(tabs, jnp.int32(i))[0])
+            sec, spread = steady(lambda i: fn(tabs, jnp.int32(i))[0],
+                                 passes=passes)
             us_per_iter = sec / iters * 1e6
             key = f"decoder/{name}/{label}"
             results[key] = {"us_per_iter": round(us_per_iter, 1),
+                            "spread_pct": round(spread, 1),
                             "batch": batch, "iters": iters}
             _save(results)
-            print(f"{key}: {us_per_iter:.0f} us/iter "
+            print(f"{key}: {us_per_iter:.0f} us/iter ±{spread:.1f}% "
                   f"({sec*1e3:.2f} ms / {iters} iters, B={batch})", file=sys.stderr)
 
 
-def bench_kmeans(results: dict, batch: int = 1024, nsym: int = 1152) -> None:
+def bench_kmeans(results: dict, batch: int = 1024, nsym: int = 1152,
+                 passes: int = 1) -> None:
     import jax
 
     from kmldpc_tpu.detect.kmeans import make_blind_estimator
@@ -214,17 +218,19 @@ def bench_kmeans(results: dict, batch: int = 1024, nsym: int = 1152) -> None:
             try:
                 import jax.numpy as jnp
 
-                sec, _ = steady(lambda i: jest(jnp.int32(i))[0])
+                sec, spread = steady(lambda i: jest(jnp.int32(i))[0],
+                                     passes=passes)
             except Exception as e:
                 print(f"kmeans/{cname}/{impl}: FAILED ({type(e).__name__})",
                       file=sys.stderr)
                 continue
             key = f"kmeans/{cname}/{impl}"
             results[key] = {"us_per_call": round(sec * 1e6, 1),
+                            "spread_pct": round(spread, 1),
                             "batch": batch, "nsym": n}
             _save(results)
-            print(f"{key}: {sec*1e6:.0f} us/call (B={batch}, {n} sym)",
-                  file=sys.stderr)
+            print(f"{key}: {sec*1e6:.0f} us/call ±{spread:.1f}% "
+                  f"(B={batch}, {n} sym)", file=sys.stderr)
 
 
 # The chain row matrix lives in tools/rows.py — ONE definition shared with
@@ -305,6 +311,9 @@ def main() -> None:
     ap.add_argument("--diff", default=None,
                     help="baseline JSON (e.g. benchmarks/microbench_r3_chain.json) "
                          "to report per-row changes against")
+    ap.add_argument("--passes", type=int, default=None,
+                    help="interleaved slope passes per row (median + spread; "
+                         "default: 3 for chain, 1 for decoder/kmeans)")
     args = ap.parse_args()
     groups = args.groups or ["decoder", "kmeans", "chain"]
     global _JSON_PATH
@@ -316,13 +325,14 @@ def main() -> None:
     results: dict = {"device": str(jax.devices()[0])}
     for g in groups:
         if g == "decoder":
-            bench_decoders(results)
+            bench_decoders(results, passes=args.passes or 1)
         elif g == "kmeans":
-            bench_kmeans(results)
+            bench_kmeans(results, passes=args.passes or 1)
         elif g == "chain":
-            bench_chain(results)
+            bench_chain(results, passes=args.passes or 3)
         elif g.startswith("chain:"):
-            bench_chain(results, only=g.split(":", 1)[1])
+            bench_chain(results, only=g.split(":", 1)[1],
+                        passes=args.passes or 3)
         else:
             raise SystemExit(f"unknown group {g!r}")
     out = json.dumps(results, indent=1)
