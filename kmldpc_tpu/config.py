@@ -107,6 +107,13 @@ class TpuConfig:
     # Blind k-means implementation: "auto" (Pallas kernel on TPU backends,
     # pure JAX elsewhere) | "jax" | "pallas".
     kmeans_impl: str = "auto"
+    # Opt-in: skip the two complement metric candidates when they exactly
+    # tie the computed pair (complement-closed constellation +
+    # even-degree rows: QPSK/4PSK + PEG codes — detect/metric.py
+    # complement_closed).  Halves the blind metric stage; the selected h
+    # is unchanged (first-minimum tie-breaking never picks the skipped
+    # pair).  Statistically, not bitwise, identical.
+    metric_prune: bool = False
     # Exact two-phase decode tuning (bit-identical results for any value):
     # phase-1 iterations on the full batch, phase-2 tile width (0 = batch/8).
     phase1_iters: int = 3

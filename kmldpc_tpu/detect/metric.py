@@ -38,11 +38,39 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..code.ldpc import LDPCCode
 from ..decoder.bp import DecoderTables, count_failed_checks
 from ..decoder.bp_em import flooding_decode_em as flooding_decode
+from ..io.constellation import Constellation
 from ..ops.modem import ModemTables, make_soft_demapper
+
+
+def complement_closed(code: LDPCCode, c: Constellation) -> bool:
+    """True iff the ĥ and -ĥ metric candidates are exactly tied.
+
+    Two conditions (see the inherent-ambiguity note above): negating every
+    constellation point lands on the point with the bitwise-COMPLEMENTED
+    label (so demapping under -h complements every bit decision), and
+    every check row has even degree (so the complement of a codeword is a
+    codeword and its syndrome/soft-syndrome is identical).  When both
+    hold, candidates 2 and 3 (= -1 and -j rotations) tie candidates 0 and
+    1 exactly and ``std::min_element`` / ``jnp.argmin`` first-minimum
+    tie-breaking can NEVER select them — which is what makes
+    ``prune_complement`` (skip computing them) selection-equivalent.
+    QPSK/4PSK satisfy this; 16QAM Gray does not (negation is not
+    label-complementing), and the 5G codes have odd-degree rows.
+    """
+    pts = np.asarray(c.points)
+    bits = np.asarray(c.bits)
+    for k in range(c.num_points):
+        d = np.abs(pts + pts[k])  # nearest point to -pts[k]
+        j = int(np.argmin(d))
+        if d[j] > 1e-9 or not np.array_equal(bits[j], 1 - bits[k]):
+            return False
+    row_deg = np.asarray(code.row_mask).sum(axis=1)
+    return bool((row_deg % 2 == 0).all())
 
 
 def make_ambiguity_selector(
@@ -51,6 +79,7 @@ def make_ambiguity_selector(
     metric_type: bool,
     metric_iter: int,
     decode=None,
+    prune_complement: bool = False,
 ) -> Callable[..., tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Returns ``select(t, yr, yi, h4_r, h4_i, var) -> (hr, hi, metrics)``.
 
@@ -74,6 +103,11 @@ def make_ambiguity_selector(
     needs_decode = metric_type or code.is_5g
     if decode is None:
         decode = lambda t, llr, it: flooding_decode(t, llr, it)
+    # prune_complement: candidates 2,3 (-1, -j rotations) exactly tie 0,1
+    # (see complement_closed) and first-minimum tie-breaking can never
+    # select them, so skip computing them — half the demap/metric work.
+    # The caller is responsible for checking complement_closed first.
+    nc = 2 if prune_complement else 4
 
     def select(t, yr, yi, h4_r, h4_i, var):
         """Returns (hr, hi, metrics, llr_best).
@@ -85,12 +119,12 @@ def make_ambiguity_selector(
         cheaper.
         """
         b, nsym = yr.shape
-        # fold candidates into the batch: [B, 4, Nsym] -> [4B, Nsym]
-        yr4 = jnp.broadcast_to(yr[:, None, :], (b, 4, nsym)).reshape(b * 4, nsym)
-        yi4 = jnp.broadcast_to(yi[:, None, :], (b, 4, nsym)).reshape(b * 4, nsym)
-        hr4 = h4_r.reshape(b * 4)
-        hi4 = h4_i.reshape(b * 4)
-        bit_p0, chan_llr = demap(yr4, yi4, hr4, hi4, var)
+        # fold candidates into the batch: [B, nc, Nsym] -> [nc*B, Nsym]
+        yrn = jnp.broadcast_to(yr[:, None, :], (b, nc, nsym)).reshape(b * nc, nsym)
+        yin = jnp.broadcast_to(yi[:, None, :], (b, nc, nsym)).reshape(b * nc, nsym)
+        hrn = h4_r[:, :nc].reshape(b * nc)
+        hin = h4_i[:, :nc].reshape(b * nc)
+        bit_p0, chan_llr = demap(yrn, yin, hrn, hin, var)
 
         dec_tabs = getattr(t, "base", t)  # MinsumTables carries .base
         if not needs_decode:
@@ -105,15 +139,20 @@ def make_ambiguity_selector(
                 metric = jnp.sum(jnp.log(res.soft_syndrome), axis=-1)
             else:
                 metric = count_failed_checks(dec_tabs, res.cc_hat).astype(jnp.float32)
-        metrics = jnp.abs(metric).reshape(b, 4)  # abs: kmcodec.cc:140
+        metrics = jnp.abs(metric).reshape(b, nc)  # abs: kmcodec.cc:140
         best = jnp.argmin(metrics, axis=1)  # first min, like std::min_element
-        oh = jax.nn.one_hot(best, 4, dtype=h4_r.dtype)
-        hr = jnp.sum(h4_r * oh, axis=1)
-        hi = jnp.sum(h4_i * oh, axis=1)
-        # winner's LLRs via a row gather of the folded [4B, n] array — a
-        # [B, 4, n] reshape would be a retiling copy on TPU
-        rows = jnp.arange(b, dtype=jnp.int32) * 4 + best.astype(jnp.int32)
+        oh = jax.nn.one_hot(best, nc, dtype=h4_r.dtype)
+        hr = jnp.sum(h4_r[:, :nc] * oh, axis=1)
+        hi = jnp.sum(h4_i[:, :nc] * oh, axis=1)
+        # winner's LLRs via a row gather of the folded [nc*B, n] array — a
+        # [B, nc, n] reshape would be a retiling copy on TPU
+        rows = jnp.arange(b, dtype=jnp.int32) * nc + best.astype(jnp.int32)
         llr_best = chan_llr[rows]
+        if prune_complement:
+            # the skipped candidates' metrics equal the computed ones (that
+            # is the pruning condition); report the tied values so the
+            # [B, 4] surface (debug chatter) keeps its shape
+            metrics = jnp.concatenate([metrics, metrics], axis=1)
         return hr, hi, metrics, llr_best
 
     return select

@@ -140,6 +140,15 @@ class ChainSpec:
     # fast path decodes metrics ~35x faster per iteration; an extension,
     # the reference has no min-sum).
     metric_schedule: str = "flooding"
+    # Opt-in: skip the -hhat/-j*hhat metric candidates when they are
+    # EXACTLY tied with the +hhat/+j*hhat ones (complement-closed
+    # constellation + even-degree rows, e.g. QPSK + PEG codes — see
+    # detect/metric.py complement_closed).  First-minimum tie-breaking can
+    # never select the skipped pair, so the winning h is unchanged and the
+    # metric stage (demap + metric over the candidate-folded batch)
+    # halves.  Statistically — not bitwise — identical: an f32 ulp event
+    # at a P0 == 0.5 boundary could in principle break a tie differently.
+    metric_prune: bool = False
 
     @staticmethod
     def from_config(cfg: Config, code: LDPCCode, constellation: Constellation) -> "ChainSpec":
@@ -161,6 +170,7 @@ class ChainSpec:
             kmeans_dump=bool(cfg.tpu.kmeans_dump_dir) and not cfg.decoder.true_h_arg,
             debug_blocks=cfg.tpu.debug_blocks,
             metric_schedule=cfg.tpu.metric_schedule,
+            metric_prune=cfg.tpu.metric_prune,
             kmeans_impl=cfg.tpu.kmeans_impl,
         )
 
@@ -232,8 +242,24 @@ def build_frontend_fn(
         )
     else:
         mdecode = None
+    if spec.metric_prune:
+        from ..detect.metric import complement_closed
+
+        if spec.histogram:
+            raise ValueError(
+                "metric_prune is incompatible with histogram mode (the "
+                "metric table would carry duplicated pairs)"
+            )
+        if not complement_closed(code, spec.constellation):
+            raise ValueError(
+                "metric_prune requires a complement-closed constellation "
+                "and even-degree check rows (QPSK/4PSK + PEG codes); "
+                f"{spec.constellation.num_points}-point table / code "
+                f"{code.name!r} do not qualify"
+            )
     select = make_ambiguity_selector(
-        code, tables, spec.metric_type, spec.metric_iter, decode=mdecode
+        code, tables, spec.metric_type, spec.metric_iter, decode=mdecode,
+        prune_complement=spec.metric_prune,
     )
     sel_tabs = (lambda p: p.ms) if use_ms_metric else (lambda p: p.dec)
 

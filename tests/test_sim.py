@@ -98,6 +98,59 @@ def test_chunk_runner_blind_16qam(assets):
     assert int(res.err_blk) == 0, (int(res.err_blk), int(res.err_bit))
 
 
+def test_metric_prune_matches_full_selection(assets):
+    """[tpu].metric_prune skips the exactly-tied complement candidates:
+    on QPSK + PEG2304 (complement-closed, even rows) the pruned chain must
+    produce the same counters as the full 4-candidate chain at fixed
+    seeds (first-minimum tie-breaking never selects the skipped pair)."""
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    const = parse_constellation(str(assets / "2bits_QPSK.txt"))
+    base = dict(
+        code=code, constellation=const, known_h=False, fading=True,
+        metric_type=False, metric_iter=5, max_iter=50,
+        encoder_active=True, histogram=False,
+    )
+    key = jax.random.key(9)
+    var = np.float32(10 ** (-1.2))  # 12 dB: mix of clean and erroring blocks
+    full = make_chunk_runner(ChainSpec(**base), batch=32)(key, var)
+    pruned = make_chunk_runner(
+        ChainSpec(**base, metric_prune=True), batch=32
+    )(key, var)
+    assert int(pruned.tot_blk) == int(full.tot_blk) == 32
+    assert int(pruned.err_blk) == int(full.err_blk)
+    assert int(pruned.err_bit) == int(full.err_bit)
+    # the reported metric table duplicates the tied pairs
+    m = np.asarray(pruned.metrics)
+    np.testing.assert_array_equal(m[:, :2], m[:, 2:])
+    np.testing.assert_array_equal(m[:, :2], np.asarray(full.metrics)[:, :2])
+
+
+def test_metric_prune_validation(assets):
+    """Pruning requires the exact-tie conditions; 16QAM Gray (negation is
+    not label-complementing) must be rejected with a named error, as must
+    histogram mode."""
+    import dataclasses as dc
+
+    from kmldpc_tpu.detect.metric import complement_closed
+    from kmldpc_tpu.sim.chain import build_chain_fn
+
+    peg = load_code(str(assets / "PEG2304regular0.5.txt"))
+    qpsk = parse_constellation(str(assets / "2bits_QPSK.txt"))
+    qam = parse_constellation(str(assets / "4bit_16QAM_Gray.txt"))
+    assert complement_closed(peg, qpsk)
+    assert not complement_closed(peg, qam)
+    spec = ChainSpec(
+        code=peg, constellation=qam, known_h=False, fading=True,
+        metric_type=False, metric_iter=5, max_iter=50,
+        encoder_active=True, histogram=False, metric_prune=True,
+    )
+    with pytest.raises(ValueError, match="complement-closed"):
+        build_chain_fn(spec, 8)
+    hist = dc.replace(spec, constellation=qpsk, histogram=True)
+    with pytest.raises(ValueError, match="histogram"):
+        build_chain_fn(hist, 8)
+
+
 def test_debug_blocks_chatter(assets, tmp_path):
     """[tpu].debug_blocks logs the reference's per-block lines (file only):
     Generated H, Current Block Number, per-candidate Hhat/Metric, hatIndex

@@ -41,6 +41,16 @@ class ChainRow:
 
 
 CHAIN_ROWS = [
+    # round 4: metric_prune skips the exactly-tied complement candidates
+    # (QPSK + even-degree rows), halving the blind metric stage — the
+    # selected h is unchanged (exact counter-equality pinned by test)
+    ChainRow("PEG2304+QPSK/blind/prune", "PEG2304regular0.5.txt",
+             "2bits_QPSK.txt", False, "flooding", 15.0,
+             extra={"metric_prune": True}),
+    ChainRow("PEG2304+QPSK/blind/fminsum-prune", "PEG2304regular0.5.txt",
+             "2bits_QPSK.txt", False, "flooding-minsum", 15.0,
+             extra={"metric_schedule": "match", "metric_prune": True},
+             bench_rank=7),
     # min-sum CN rule on the flooding schedule — the compute lever the
     # PEG8064 roofline analysis identifies (no transcendental phi passes);
     # statistical parity only (PARITY.md sweep 8)
