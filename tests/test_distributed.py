@@ -155,6 +155,78 @@ def test_two_process_sweep_error_cap_stop(tmp_path):
     assert len(points) == 2  # -2 and 0 dB
 
 
+_FOLDED_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, sys.argv[3])
+    os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:" + sys.argv[2]
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = sys.argv[1]
+    from kmldpc_tpu.parallel.distributed import maybe_initialize
+    assert maybe_initialize(), "expected multi-process"
+    import jax
+    assert jax.process_count() == 2 and len(jax.devices()) == 4
+    root = sys.argv[3]
+    from kmldpc_tpu.config import config_from_dict
+    from kmldpc_tpu.sim import Simulator
+    from kmldpc_tpu.utils.logging import SimLogger
+    # SNR-point folding over the CROSS-PROCESS mesh, stopping on the
+    # error cap: every process assembles its next dispatch's slot list
+    # from the replicated psum'd counters, so both must take identical
+    # decisions each round (a divergence deadlocks a collective and times
+    # the test out).  3 points with fold 2 also forces dead-slot padding
+    # on the final dispatches — the round-4 runaway regression, here
+    # exercised across processes.
+    cfg = config_from_dict(dict(
+        range=dict(minimum_snr=-2.0, maximum_snr=2.0, step_snr=2.0,
+                   maximum_error_number=12, maximum_block_number=10**6),
+        decoder=dict(true_h_arg=True),
+        ldpc=dict(max_iter=20, active=True,
+                  matrix_file="PEG2304regular0.5.txt"),
+        modem=dict(modem_file="2bits_QPSK.txt"),
+        tpu=dict(batch=16, chunks_per_launch=1, snr_fold=2),
+    ), asset_dir=os.path.join(root, "assets"))
+    sim = Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+    assert sim.snr_fold == 2
+    results = sim.simulate()
+    assert all(r.err_blk >= 12 for r in results), "error cap should trigger"
+    print("FOLD " + ";".join(
+        f"{r.snr:.3f},{r.tot_blk},{r.err_blk},{r.err_bit}" for r in results
+    ), flush=True)
+    """
+)
+
+
+def test_two_process_folded_sweep(tmp_path):
+    """snr_fold across TWO processes: the sharded multi-point runner's
+    dispatches span the cross-process mesh and the folded driver's slot
+    assembly runs from replicated counters in lockstep; identical final
+    counters in both processes, dead-slot padding included."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "folded_worker.py"
+    worker.write_text(_FOLDED_WORKER)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if "axon" not in v.lower()}
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), port, root],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    sweeps = {line for o in outs for line in o.splitlines() if line.startswith("FOLD")}
+    assert len(sweeps) == 1, sweeps  # identical counters in both processes
+    assert len(sweeps.pop().split(" ", 1)[1].split(";")) == 3
+
+
 _EDGE_WORKER = textwrap.dedent(
     """
     import os, sys
