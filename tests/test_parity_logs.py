@@ -36,11 +36,19 @@ PAIRS = [
     ("ours_blind_5g_soft_minsum.json", "ref_blind_5g_soft.log", 960),
     ("ours_blind_8064_64qam.json", "ref_blind_8064_64qam.log", 4032),
     ("ours_blind_8064_fminsum.json", "ref_blind_8064_64qam.log", 4032),
-    # round 4: sweeps 1-2 regenerated on chip THROUGH the snr_fold
-    # production path (all 7 points in folded dispatches) — the
+    # round 4: ALL TEN sweeps regenerated on chip THROUGH the snr_fold
+    # production path (folded dispatches) on the round-4 code — the
     # statistical end-to-end validation on top of the bit-identity tests
     ("ours_known_qpsk_folded_r4.json", "ref_known_qpsk.log", 1152),
     ("ours_blind_16qam_folded_r4.json", "ref_blind_16qam.log", 1152),
+    ("ours_known_5g16qam_r4.json", "ref_known_5g16qam.log", 960),
+    ("ours_known_5g16qam_minsum_r4.json", "ref_known_5g16qam.log", 960),
+    ("ours_blind_5g_soft_r4.json", "ref_blind_5g_soft.log", 960),
+    ("ours_blind_5g_soft_minsum_r4.json", "ref_blind_5g_soft.log", 960),
+    ("ours_blind_8064_64qam_r4.json", "ref_blind_8064_64qam.log", 4032),
+    ("ours_blind_8064_fminsum_r4.json", "ref_blind_8064_64qam.log", 4032),
+    ("ours_known_qpsk_bf16_r4.json", "ref_known_qpsk.log", 1152),
+    ("ours_known_qpsk_fminsum_r4.json", "ref_known_qpsk.log", 1152),
 ]
 
 
