@@ -109,7 +109,7 @@ class TpuConfig:
     kmeans_impl: str = "auto"
     # Opt-in: skip the two complement metric candidates when they exactly
     # tie the computed pair (complement-closed constellation +
-    # even-degree rows: QPSK/4PSK + PEG codes — detect/metric.py
+    # even-degree rows: the shipped QPSK table + PEG codes — detect/metric.py
     # complement_closed).  Halves the blind metric stage; the selected h
     # is unchanged (first-minimum tie-breaking never picks the skipped
     # pair).  Statistically, not bitwise, identical.

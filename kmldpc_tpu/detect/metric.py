@@ -59,8 +59,10 @@ def complement_closed(code: LDPCCode, c: Constellation) -> bool:
     1 exactly and ``std::min_element`` / ``jnp.argmin`` first-minimum
     tie-breaking can NEVER select them — which is what makes
     ``prune_complement`` (skip computing them) selection-equivalent.
-    QPSK/4PSK satisfy this; 16QAM Gray does not (negation is not
-    label-complementing), and the 5G codes have odd-degree rows.
+    The shipped 2bits_QPSK table satisfies this; 16QAM Gray and the
+    shipped 4PSK table do not (their negation is not label-complementing
+    — checked programmatically, never assumed), and the 5G codes have
+    odd-degree rows.
     """
     pts = np.asarray(c.points)
     bits = np.asarray(c.bits)

@@ -253,7 +253,7 @@ def build_frontend_fn(
         if not complement_closed(code, spec.constellation):
             raise ValueError(
                 "metric_prune requires a complement-closed constellation "
-                "and even-degree check rows (QPSK/4PSK + PEG codes); "
+                "and even-degree check rows (the shipped QPSK table + PEG codes); "
                 f"{spec.constellation.num_points}-point table / code "
                 f"{code.name!r} do not qualify"
             )
