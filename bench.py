@@ -81,10 +81,21 @@ def measure(runner, key, var, passes: int = 3, n1: int = 4, n2: int = 12):
             break
         prev = dt
     secs = []
-    for p in range(passes):
+    fallback = None
+    for p in range(2 * passes):  # retry budget for stall-corrupted passes
         t1 = run(n1, 1_000 + 100 * p)
         t2 = run(n2, 5_000 + 100 * p)
-        secs.append((t2 - t1) / (n2 - n1))
+        fallback = t2 / n2  # always-positive upper bound on sec/chunk
+        slope = (t2 - t1) / (n2 - n1)
+        # A relay stall during the SHORT run can make t1 > t2 and the
+        # slope non-positive; a negative sec would leak into the driver's
+        # one-line JSON as negative throughput.  Discard and retry.
+        if slope > 0:
+            secs.append(slope)
+            if len(secs) == passes:
+                break
+    if not secs:
+        return fallback, 0.0
     secs.sort()
     med = secs[len(secs) // 2]
     spread = (secs[-1] - secs[0]) / med * 100.0

@@ -224,11 +224,21 @@ class Simulator:
 
     def _fingerprint(self) -> str:
         c = self.cfg
+        # The runner topology is part of the fingerprint: the sharded
+        # runners split each launch key over the device mesh, so a
+        # checkpoint resumed under a different device count / parallelism
+        # layout would silently merge two incompatible RNG streams and
+        # break the bit-identical-resume invariant.  Mismatch -> fresh
+        # start (with a log line), never a silent mix.
+        topology = (
+            f"{len(jax.devices())}|{c.tpu.data_parallel}|{c.tpu.snr_fold}|"
+            f"{c.tpu.model_parallel}|{c.tpu.chunks_per_launch}"
+        )
         return (
             f"{c.ldpc.matrix_file}|{c.modem.modem_file}|{c.ldpc.max_iter}|"
             f"{c.decoder.true_h_arg}|{c.xcodec.ldpc_5g}|{c.xcodec.metric_type}|"
             f"{c.xcodec.metric_iter}|{c.range.maximum_block_number}|"
-            f"{c.range.maximum_error_number}|{self.batch}"
+            f"{c.range.maximum_error_number}|{self.batch}|{topology}"
         )
 
     # -- main loop ----------------------------------------------------------

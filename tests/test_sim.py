@@ -403,6 +403,45 @@ def test_checkpoint_mid_point_resume(assets, tmp_path):
     ), "resumed sweep must be bit-identical to an uninterrupted one"
 
 
+def test_checkpoint_rejects_topology_change(assets, tmp_path):
+    """The fingerprint includes the runner topology: a checkpoint written
+    by the sequential path must NOT be silently merged into a folded (or
+    differently-sharded) resume — the runners decompose launch keys
+    differently, so mixing the streams would break bit-identical resume.
+    Mismatch means a clean fresh start."""
+    ck = str(tmp_path / "ck_topo.json")
+
+    def cfg(**tpu_over):
+        return _cfg(
+            assets,
+            range=dict(maximum_block_number=16, maximum_error_number=10**9,
+                       minimum_snr=4.0, maximum_snr=6.0, step_snr=2.0),
+            decoder=dict(true_h_arg=True),
+            tpu=dict(batch=8, chunks_per_launch=1, checkpoint_path=ck,
+                     data_parallel=1, **tpu_over),
+        )
+
+    Simulator(cfg(), SimLogger(log_dir=None, stdout=False)).simulate()
+    fp_seq = json.load(open(ck))["fingerprint"]
+    # resume under snr_fold: fingerprint differs -> fresh start, and the
+    # folded run's own results are the folded ground truth
+    sim2 = Simulator(cfg(snr_fold=2), SimLogger(log_dir=None, stdout=False))
+    assert sim2._fingerprint() != fp_seq
+    r2 = sim2.simulate()
+    control = Simulator(
+        _cfg(assets,
+             range=dict(maximum_block_number=16, maximum_error_number=10**9,
+                        minimum_snr=4.0, maximum_snr=6.0, step_snr=2.0),
+             decoder=dict(true_h_arg=True),
+             tpu=dict(batch=8, chunks_per_launch=1, data_parallel=1,
+                      snr_fold=2)),
+        SimLogger(log_dir=None, stdout=False),
+    ).simulate()
+    for a, b in zip(r2, control):
+        assert (a.tot_blk, a.err_blk, a.err_bit) == (b.tot_blk, b.err_blk, b.err_bit)
+    assert json.load(open(ck))["fingerprint"] == sim2._fingerprint()
+
+
 def test_snr_fold_checkpoint_mid_sweep_resume(assets, tmp_path):
     """Kill a FOLDED sweep mid-flight -> the resumed sweep lands on
     counters bit-identical to an uninterrupted folded run (the per-point

@@ -83,13 +83,23 @@ def steady(fn, n1: int = 6, n2: int = 18, passes: int = 1):
             break
         prev = dt
     vals = []
-    for p in range(passes):
+    fallback = None
+    for p in range(2 * passes):  # retry budget for stall-corrupted passes
         t1 = run(n1, 2_000 + 200 * p)
         t2 = run(n2, 3_000 + 200 * p)
-        vals.append((t2 - t1) / (n2 - n1))
+        fallback = t2 / n2  # always-positive upper bound
+        slope = (t2 - t1) / (n2 - n1)
+        # a relay stall during the short run can make the slope <= 0
+        # (observed class: same program 1 s vs minutes) — discard, retry
+        if slope > 0:
+            vals.append(slope)
+            if len(vals) == passes:
+                break
+    if not vals:
+        return fallback, 0.0
     vals.sort()
     med = vals[len(vals) // 2]
-    spread = (vals[-1] - vals[0]) / med * 100.0 if passes > 1 else 0.0
+    spread = (vals[-1] - vals[0]) / med * 100.0 if len(vals) > 1 else 0.0
     return med, spread
 
 
