@@ -56,20 +56,29 @@ def _pick_tile_sublane(
     S=384 wanted 23.6 MB of scoped vmem against the 16 MB limit), so the
     budget scales with M: keep (M + 6) live tiles under ~12 MB.
 
-    When no tile divides ``b`` (e.g. b = 100 or 12), return the largest
-    in-budget tile anyway — ``estimate`` pads the batch up to the next tile
-    multiple and slices the result back.  (An earlier version returned
-    ``min(b, 8)`` with an unpadded ``grid = (b // tb,)``, which left the
-    last ``b mod tb`` rows of the output UNWRITTEN — silently-garbage
-    gains for any batch not divisible by 8.)"""
+    When no tile divides ``b`` (e.g. b = 100 or 12), pick the in-budget
+    tile that MINIMIZES the padding ``ceil(b/t)*t - b`` (smallest tile on
+    ties) — ``estimate`` pads the batch up to the next tile multiple and
+    slices the result back, and every padded row is wasted k-means
+    compute: an earlier fallback returned the LARGEST in-budget tile,
+    padding b = 12 up to 256 rows (~20x wasted work on small odd
+    batches; the advisor's round-4 finding).  (The original version
+    returned ``min(b, 8)`` with an unpadded ``grid = (b // tb,)``, which
+    left the last ``b mod tb`` rows of the output UNWRITTEN —
+    silently-garbage gains for any batch not divisible by 8.)"""
     per_tile = nsym * 4 * (m_points + 6)
     for t in (256, 128, 64, 32, 16, 8):
         if b % t == 0 and t * per_tile <= budget_bytes:
             return t
-    for t in (256, 128, 64, 32, 16, 8):
-        if t * per_tile <= budget_bytes:
-            return t
-    return 8
+    best = 8
+    best_pad = None
+    for t in (8, 16, 32, 64, 128, 256):
+        if t * per_tile > budget_bytes:
+            break
+        pad = -(-b // t) * t - b
+        if best_pad is None or pad < best_pad:
+            best, best_pad = t, pad
+    return best
 
 
 def _kmeans_kernel(yr_ref, yi_ref, hr_ref, hi_ref, *,

@@ -48,22 +48,34 @@ from ..ops.modem import ModemTables, make_soft_demapper
 
 
 def complement_closed(code: LDPCCode, c: Constellation) -> bool:
-    """True iff the ĥ and -ĥ metric candidates are exactly tied.
+    """True iff the ĥ and -ĥ metric candidates are exactly tied IN f32.
 
-    Two conditions (see the inherent-ambiguity note above): negating every
-    constellation point lands on the point with the bitwise-COMPLEMENTED
-    label (so demapping under -h complements every bit decision), and
-    every check row has even degree (so the complement of a codeword is a
-    codeword and its syndrome/soft-syndrome is identical).  When both
-    hold, candidates 2 and 3 (= -1 and -j rotations) tie candidates 0 and
-    1 exactly and ``std::min_element`` / ``jnp.argmin`` first-minimum
-    tie-breaking can NEVER select them — which is what makes
-    ``prune_complement`` (skip computing them) selection-equivalent.
-    The shipped 2bits_QPSK table satisfies this; 16QAM Gray and the
-    shipped 4PSK table do not (their negation is not label-complementing
-    — checked programmatically, never assumed), and the 5G codes have
-    odd-degree rows.
+    Three conditions (see the inherent-ambiguity note above): negating
+    every constellation point lands on the point with the bitwise-
+    COMPLEMENTED label (so demapping under -h complements every bit
+    decision), every check row has even degree (so the complement of a
+    codeword is a codeword and its syndrome/soft-syndrome is identical),
+    and the table has at most 4 points.  The size bound is what lifts the
+    mathematical tie to a bit-exact f32 tie: with <= 4 points each demap
+    bit class holds at most 2 points, so the per-bit logsumexp over the
+    permuted distances is a 2-term sum — commutative-exact in f32.  A
+    larger complement-closed table would permute >2-term sums whose f32
+    results can differ by an ulp, and an ulp at a P0 == 0.5 boundary
+    could let the unpruned path pick -ĥ and flip a whole block (the
+    advisor's round-4 finding).  When all three hold, candidates 2 and 3
+    (= -1 and -j rotations) tie candidates 0 and 1 exactly and
+    ``std::min_element`` / ``jnp.argmin`` first-minimum tie-breaking can
+    NEVER select them — which is what makes ``prune_complement`` (skip
+    computing them) selection-equivalent.  The shipped 2bits_QPSK table
+    satisfies this; 16QAM Gray and the shipped 4PSK table do not (their
+    negation is not label-complementing — checked programmatically, never
+    assumed), and the 5G codes have odd-degree rows.
     """
+    if c.num_points > 4:
+        # mathematical closure would not imply the bit-exact f32 tie that
+        # selection equivalence requires (docstring); no shipped table
+        # above 4 points is complement-closed anyway
+        return False
     pts = np.asarray(c.points)
     bits = np.asarray(c.bits)
     for k in range(c.num_points):

@@ -37,6 +37,26 @@ def test_pallas_kmeans_matches_jax(assets, fname, monkeypatch):
     np.testing.assert_allclose(np.asarray(h4j[1]), np.asarray(h4p[1]), rtol=1e-5, atol=1e-6)
 
 
+def test_pick_tile_minimizes_padding():
+    """The fallback tile for batches no tile divides must minimize padding.
+
+    Regression test for the round-4 advisor finding: the fallback returned
+    the LARGEST in-budget tile, padding b = 12 up to 256 rows (~20x wasted
+    k-means compute).  Now the in-budget tile with the least padding wins
+    (smallest tile on ties); exact divisors keep preferring large tiles.
+    """
+    from kmldpc_tpu.detect.kmeans_pallas import _pick_tile_sublane
+
+    # b = 12: pad 4 at t=8 (ties t=16's 4, smallest wins)
+    assert _pick_tile_sublane(12, 288, 16) == 8
+    # b = 100: pad 4 at t=8 beats 28 at t=32 / 156 at t=256
+    assert _pick_tile_sublane(100, 288, 16) == 8
+    # exact divisors still take the largest in-budget tile
+    assert _pick_tile_sublane(1024, 384, 4) == 256
+    # VMEM budget still caps the tile for the 64-point kernel
+    assert _pick_tile_sublane(1024, 384, 64) == 64
+
+
 @pytest.mark.parametrize("b", [100, 12, 7])
 def test_pallas_kmeans_odd_batch(assets, b):
     """Batches not divisible by any tile must still fill EVERY output row.

@@ -139,6 +139,20 @@ def test_metric_prune_validation(assets):
     qam = parse_constellation(str(assets / "4bit_16QAM_Gray.txt"))
     assert complement_closed(peg, qpsk)
     assert not complement_closed(peg, qam)
+    # a >4-point table is rejected even when mathematically closed: with
+    # more than 2 points per demap bit class the f32 logsumexp permutation
+    # can differ by an ulp, so the exact-tie guarantee pruning relies on
+    # does not hold (round-4 advisor finding).  8-PSK with label(k+4) =
+    # ~label(k) is negation-closed with complemented labels by design.
+    import numpy as _np
+
+    from kmldpc_tpu.io.constellation import Constellation
+
+    pts = _np.exp(1j * _np.pi / 4 * _np.arange(8))
+    labels = _np.array([0, 1, 2, 3, 7, 6, 5, 4])
+    bits8 = ((labels[:, None] >> _np.arange(2, -1, -1)) & 1).astype(_np.int8)
+    psk8 = Constellation(bits_per_symbol=3, points=pts, bits=bits8)
+    assert not complement_closed(peg, psk8)
     spec = ChainSpec(
         code=peg, constellation=qam, known_h=False, fading=True,
         metric_type=False, metric_iter=5, max_iter=50,
