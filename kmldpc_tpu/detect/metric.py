@@ -94,6 +94,7 @@ def make_ambiguity_selector(
     metric_iter: int,
     decode=None,
     prune_complement: bool = False,
+    metric_fn=None,
 ) -> Callable[..., tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Returns ``select(t, yr, yi, h4_r, h4_i, var) -> (hr, hi, metrics)``.
 
@@ -112,9 +113,21 @@ def make_ambiguity_selector(
     reference has no min-sum at all, so there is no reference behavior to
     diverge from, but the default stays "flooding" to keep blind sweeps
     comparable to the C++ simulator.
+
+    ``metric_fn`` replaces the whole metric computation:
+    ``metric_fn(t, bit_p0, chan_llr) -> metric [B_folded]`` (PRE-abs values,
+    the GetMetrics semantics of kmcodec.cc:105-163) over the
+    candidate-folded batch.  The model-parallel runner
+    (parallel/edge_sharded.py) injects a row-sharded implementation here so
+    the metric decodes' message state is partitioned like the final
+    decode's — without it the 4-candidate metric stage would keep full
+    per-device message state, exactly the peak the feature exists to
+    remove.  Mutually exclusive with ``decode``.
     """
     demap = make_soft_demapper(tables)
     needs_decode = metric_type or code.is_5g
+    if metric_fn is not None and decode is not None:
+        raise ValueError("metric_fn and decode are mutually exclusive")
     if decode is None:
         decode = lambda t, llr, it: flooding_decode(t, llr, it)
     # prune_complement: candidates 2,3 (-1, -j rotations) exactly tie 0,1
@@ -141,7 +154,9 @@ def make_ambiguity_selector(
         bit_p0, chan_llr = demap(yrn, yin, hrn, hin, var)
 
         dec_tabs = getattr(t, "base", t)  # MinsumTables carries .base
-        if not needs_decode:
+        if metric_fn is not None:
+            metric = metric_fn(t, bit_p0, chan_llr)
+        elif not needs_decode:
             # classic hard metric: inverted hard decision of the demap
             # output, no decoding (kmcodec.cc:109-114).
             rr = (bit_p0 > 0.5).astype(jnp.int8)  # NOTE: P(bit=0) > 0.5 -> 1

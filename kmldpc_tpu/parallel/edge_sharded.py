@@ -147,18 +147,79 @@ def _make_device_decode(
     return device_decode
 
 
+def _make_two_phase_device(device_decode, phase1_iters: int, tile: int):
+    """Exact two-phase schedule around a device-local slab decoder.
+
+    The row-sharded analogue of ``bp_em.flooding_decode_two_phase`` (the
+    per-codeword early exit of binaryldpccodec.cc:217-232, recovered for
+    batches): phase 1 runs ``phase1_iters`` on the full batch; the
+    still-unconverged codewords are compacted into ``tile``-wide
+    sub-batches and re-decoded from scratch at the full budget.  BP is
+    deterministic and per-codeword independent (the posterior psum sums
+    per-column, so a codeword's trajectory does not depend on its batch
+    neighbors), hence the outputs are BIT-identical to the single-phase
+    slab decoder — only the schedule of wasted work changes.
+
+    Safe inside ``shard_map``: ``conv`` (and therefore ``order`` /
+    ``n_unconv`` / the tile-loop trip count) derives from psum-replicated
+    values, so every device of a model group executes the same number of
+    tile iterations and the per-tile psums stay collective-matched.
+    ``phase1_iters <= 0`` disables the wrapper (single-phase).
+    """
+
+    def decode2(row_col, rmask, llr_col, iter_count):
+        b = llr_col.shape[1]
+        t_ = min(max(8, tile), b)
+        if t_ >= b or phase1_iters <= 0 or phase1_iters >= iter_count:
+            return device_decode(row_col, rmask, llr_col, iter_count)
+        cc, conv, iters, ss = device_decode(row_col, rmask, llr_col, phase1_iters)
+        order = jnp.argsort(conv, stable=True)  # unconverged first
+        n_unconv = jnp.sum(~conv).astype(jnp.int32)
+
+        def cond(st):
+            return st[0] * t_ < n_unconv
+
+        def body(st):
+            k, cc, conv, iters, ss = st
+            start = jnp.minimum(k * t_, b - t_)
+            idx = jax.lax.dynamic_slice_in_dim(order, start, t_)
+            scc, sconv, siters, sss = device_decode(
+                row_col, rmask, llr_col[:, idx], iter_count
+            )
+            return (
+                k + 1,
+                cc.at[:, idx].set(scc),
+                conv.at[idx].set(sconv),
+                iters.at[idx].set(siters),
+                ss.at[:, idx].set(sss),
+            )
+
+        _, cc, conv, iters, ss = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), cc, conv, iters, ss)
+        )
+        return cc, conv, iters, ss
+
+    return decode2
+
+
 def make_edge_sharded_decoder(
     code: LDPCCode,
     mesh: Mesh,
     axis: str = "model",
     cn_rule: str = "sumprod",
     alpha: float = 0.75,
+    phase1_iters: int = 0,
+    tile: int = 0,
 ) -> Callable[[jnp.ndarray, int], DecodeResult]:
     """Row-sharded flooding decoder over ``mesh``'s ``axis``.
 
     ``decode(chan_llr [B, tx], iter_count) -> DecodeResult`` — same
     interface and semantics as ``bp_em.flooding_decode_em`` (puncture
     prior-insertion included), message state sharded over the mesh.
+
+    ``phase1_iters > 0`` enables the exact two-phase schedule
+    (:func:`_make_two_phase_device`): bit-identical outputs, compacted
+    phase-2 tiles of ``tile`` codewords (0 = batch // 8).
     """
     t = DecoderTables.from_code(code)
     ndev = int(mesh.shape[axis])  # KeyError here for a misnamed axis
@@ -167,8 +228,12 @@ def make_edge_sharded_decoder(
     device_decode = _make_device_decode(t, axis, cn_rule, alpha)
 
     def sharded_fn(row_col, rmask, llr_col, iter_count):
+        b = llr_col.shape[1]
+        dec = _make_two_phase_device(
+            device_decode, phase1_iters, tile or max(8, b // 8)
+        )
         return jax.shard_map(
-            lambda rc, rm, llr: device_decode(rc, rm, llr, iter_count),
+            lambda rc, rm, llr: dec(rc, rm, llr, iter_count),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P()),
             out_specs=(P(), P(), P(), P(axis)),
@@ -228,17 +293,27 @@ def make_model_parallel_chunk_runner(
     one chip's HBM (PEG8064 at B=1024 f32 is 99 MB of c2v state) decode
     end-to-end without spilling.  Semantics match the data-parallel runner
     (parallel/sharding.py): same front-end (build_frontend_fn — shared
-    code), same counter psums; the decode itself is single-phase
-    edge-sharded flooding, decision-identical in practice to the
-    single-chip two-phase decoder (see the module docstring's f32
-    psum-ordering note).
+    code), same counter psums; the decode itself is two-phase edge-sharded
+    flooding, decision-identical in practice to the single-chip two-phase
+    decoder (see the module docstring's f32 psum-ordering note).
 
     Limitations (named errors below): the layered min-sum schedule has no
     row-sharded formulation (QC layers are rolls, not row slabs), and
     histogram/kmeans-dump modes are diagnostic paths that never need model
-    parallelism.  In blind mode the metric decodes (metric_iter ~ 5
-    iterations, detect/metric.py) still run device-local with full message
-    state — only the final decode's state is sharded.
+    parallelism.
+
+    In blind mode the whole metric stage is row-sharded too (round 5): the
+    4-candidate metric decodes (detect/metric.py, the analogue of
+    kmcodec.cc:121-142) run through the same device-local slab decoder as
+    the final decode via the ``metric_fn`` injection point, and the
+    hard-metric parity counts run on the local row slab with one psum — so
+    peak per-device live message state at the candidate-folded
+    ``[4 * B_local]`` batch is reduced ~D x, which is the feature's whole
+    purpose for message states larger than one chip's HBM.  The final
+    decode runs the exact two-phase schedule (``phase1_iters``/``tile``
+    from the spec, bit-identical to single-phase — see
+    :func:`_make_two_phase_device`), recovering the per-codeword early
+    exit the single-chip chain has had since round 1.
     """
     from ..sim.chain import ChunkResult, build_frontend_fn, make_chain_params
 
@@ -272,21 +347,83 @@ def make_model_parallel_chunk_runner(
         raise ValueError(f"batch {batch} not divisible by data axis {ndata}")
     local_batch = batch // ndata
     code = spec.code
-    frontend = build_frontend_fn(spec, local_batch)
     params = make_chain_params(spec)
     t = params.dec
     row_col_all, rmask_all, _ = _row_slab_tables(t, nmodel)
     device_decode = _make_device_decode(t, "model", cn_rule, spec.minsum_alpha)
+    decode_final = _make_two_phase_device(
+        device_decode, spec.phase1_iters, spec.tile or max(8, local_batch // 8)
+    )
     n = max(1, chunks_per_launch)
 
+    # --- row-sharded metric stage (blind mode) -----------------------------
+    # The metric decodes are plain flooding at metric_iter iterations
+    # (kmcodec.cc:147-159); under metric_schedule="match" with the
+    # flooding-minsum final schedule they use the min-sum CN rule, exactly
+    # like build_frontend_fn's device-local override.  ``_cell`` carries the
+    # per-trace local slab tables from one_chunk into the metric_fn closure
+    # (build_frontend_fn is built once, but metric_fn's body is traced
+    # inside one_chunk where the sharded row_col/rmask tracers live).
+    metric_cn = (
+        "minsum"
+        if spec.metric_schedule == "match" and spec.schedule == "flooding-minsum"
+        else "sumprod"
+    )
+    device_decode_metric = _make_device_decode(t, "model", metric_cn, spec.minsum_alpha)
+    needs_decode = spec.metric_type or code.is_5g
+    _cell: dict = {}
+
+    def _local_failed_checks(row_col, bits_col):
+        """Failed-parity count of a replicated [nc, B] 0/1 word over the
+        LOCAL row slab, psum'd over the model axis — the row-sharded
+        ParityCheck (binaryldpccodec.cc:280-299).  Pad rows gather the
+        appended 0 row on every slot -> parity 0, no contribution."""
+        nrD, drm = row_col.shape
+        b = bits_col.shape[1]
+        cols = row_col.T.reshape(-1)
+        bits_pad = jnp.concatenate(
+            [bits_col.astype(jnp.int32), jnp.zeros((1, b), jnp.int32)], axis=0
+        )
+        parity = jnp.sum(bits_pad[cols].reshape(drm, nrD, b), axis=0) % 2
+        return jax.lax.psum(jnp.sum(parity, axis=0), "model")  # [B]
+
+    def sharded_metric_fn(tabs, bit_p0, chan_llr):
+        row_col, rmask = _cell["rc"], _cell["rm"]
+        if not needs_decode:
+            # classic hard metric: inverted hard decision, no decoding
+            # (kmcodec.cc:109-114) — count on the local slab
+            rr = (bit_p0 > 0.5).astype(jnp.int8).T  # [nc, B_folded]
+            return _local_failed_checks(row_col, rr).astype(jnp.float32)
+        llr_col = jnp.asarray(chan_llr, jnp.float32).T
+        if t.punct:
+            bfold = llr_col.shape[1]
+            llr_col = jnp.concatenate(
+                [jnp.zeros((t.punct, bfold), jnp.float32), llr_col], axis=0
+            )
+        cc_hat, _, _, ss = device_decode_metric(
+            row_col, rmask, llr_col, spec.metric_iter
+        )
+        if spec.metric_type:
+            # soft metric: sum of log soft-syndromes (kmcodec.cc:147-155)
+            # over the local real rows (+ pad rows contribute log 1 = 0),
+            # psum'd over the model axis
+            return jax.lax.psum(jnp.sum(jnp.log(ss), axis=0), "model")
+        return _local_failed_checks(row_col, cc_hat).astype(jnp.float32)
+
+    frontend = build_frontend_fn(
+        spec, local_batch,
+        metric_fn=None if spec.known_h else sharded_metric_fn,
+    )
+
     def one_chunk(p, row_col, rmask, key, var):
+        _cell["rc"], _cell["rm"] = row_col, rmask
         uu, chan_llr, metrics, _, debug = frontend(p, key, var)
         llr_col = jnp.asarray(chan_llr, jnp.float32).T  # [tx, B_local]
         if t.punct:
             llr_col = jnp.concatenate(
                 [jnp.zeros((t.punct, local_batch), jnp.float32), llr_col], axis=0
             )
-        cc_hat, conv, iters, ss = device_decode(row_col, rmask, llr_col, spec.max_iter)
+        cc_hat, conv, iters, ss = decode_final(row_col, rmask, llr_col, spec.max_iter)
         uu_hat = jax.lax.dynamic_slice_in_dim(cc_hat, t.info_start, t.code_dim, 0).T
         errs = jnp.sum((uu != uu_hat).astype(jnp.int32), axis=1)  # [B_local]
         errs_f = errs.astype(jnp.float32)

@@ -186,7 +186,7 @@ def make_chain_params(spec: ChainSpec) -> ChainParams:
 
 
 def build_frontend_fn(
-    spec: ChainSpec, batch: int
+    spec: ChainSpec, batch: int, metric_fn=None
 ) -> Callable[[ChainParams, jax.Array, jnp.ndarray], tuple]:
     """The chain up to (but not including) the final decode.
 
@@ -197,6 +197,12 @@ def build_frontend_fn(
     :func:`build_chain_fn` so the model-parallel runner
     (parallel/edge_sharded.py) can pair the identical front-end with the
     edge-sharded decoder — the two paths cannot drift.
+
+    ``metric_fn`` overrides the ambiguity-metric computation (see
+    make_ambiguity_selector): the model-parallel runner passes a
+    row-sharded implementation so the metric decodes' message state is
+    partitioned over the mesh like the final decode's.  It wins over the
+    ``metric_schedule`` decoder override.
     """
     code = spec.code
     tables = ModemTables.from_constellation(spec.constellation)
@@ -230,7 +236,13 @@ def build_frontend_fn(
     use_ms_metric = (
         spec.metric_schedule == "match" and spec.schedule == "layered-minsum"
     )
-    if use_ms_metric:
+    mdecode = None
+    if metric_fn is not None:
+        # metric_fn replaces the whole metric computation (including any
+        # metric_schedule decoder override — the caller bakes the CN rule
+        # into its sharded implementation)
+        use_ms_metric = False
+    elif use_ms_metric:
         mdecode = lambda mt, llr, it: layered_minsum_decode(
             mt, llr, it, spec.minsum_alpha
         )
@@ -240,8 +252,6 @@ def build_frontend_fn(
         mdecode = lambda dt, llr, it: flooding_decode_em(
             dt, llr, it, cn_rule="minsum", alpha=spec.minsum_alpha
         )
-    else:
-        mdecode = None
     if spec.metric_prune:
         from ..detect.metric import complement_closed
 
@@ -259,7 +269,7 @@ def build_frontend_fn(
             )
     select = make_ambiguity_selector(
         code, tables, spec.metric_type, spec.metric_iter, decode=mdecode,
-        prune_complement=spec.metric_prune,
+        prune_complement=spec.metric_prune, metric_fn=metric_fn,
     )
     sel_tabs = (lambda p: p.ms) if use_ms_metric else (lambda p: p.dec)
 

@@ -183,6 +183,99 @@ def test_model_parallel_blind_end_to_end(assets):
     )
 
 
+@pytest.mark.parametrize("cfile,modem,metric_type,schedule,msched", [
+    # soft metric: the 4-candidate metric DECODES go through the
+    # row-sharded slab decoder (round 5).  16QAM: all four rotations
+    # separate — QPSK's complement pairs are exact/near-exact metric ties
+    # (the inherent ambiguity, metric.py docstring) whose tie-break is
+    # legitimately sensitive to f32 psum ordering, so counter equality is
+    # only well-posed on a non-complement-closed table.
+    ("PEG2304regular0.5.txt", "4bit_16QAM_Gray.txt", True, "flooding",
+     "flooding"),
+    # 5G hard metric: metric decode + row-sharded failed-check count on
+    # the irregular punctured code
+    ("5GLDPCBG2a3_R12_K960.txt", "4bit_16QAM_Gray.txt", False, "flooding",
+     "flooding"),
+    # matched min-sum metric decodes through the sharded core
+    ("PEG2304regular0.5.txt", "4bit_16QAM_Gray.txt", True, "flooding-minsum",
+     "match"),
+])
+def test_model_parallel_sharded_metric_decodes(
+    assets, cfile, modem, metric_type, schedule, msched
+):
+    """Blind chains whose METRIC stage decodes (soft metric / 5G hard
+    metric) must produce the same counters through the model-parallel
+    runner as through the data-parallel one: round 5 routes the
+    4-candidate metric decodes through the row-sharded slab decoder
+    (kmcodec.cc:121-142 analogue), removing the full per-device message
+    state at the candidate-folded batch — the peak the feature exists to
+    shed.  The final decode additionally runs the exact two-phase
+    schedule."""
+    from kmldpc_tpu.parallel.edge_sharded import (
+        get_mesh_2d,
+        make_model_parallel_chunk_runner,
+    )
+
+    code = load_code(str(assets / cfile))
+    const = parse_constellation(str(assets / modem))
+    bspec = ChainSpec(
+        code=code, constellation=const, known_h=False, fading=True,
+        metric_type=metric_type, metric_iter=3, max_iter=30,
+        encoder_active=True, histogram=False, schedule=schedule,
+        metric_schedule=msched, phase1_iters=3,
+    )
+    key = jax.random.key(5)
+    var = np.float32(10 ** (-1.8))  # 18 dB
+    r_mp = make_model_parallel_chunk_runner(bspec, 16, get_mesh_2d(2, 4))(key, var)
+    r_dp = make_sharded_chunk_runner(bspec, 16, get_mesh(2))(key, var)
+    assert int(r_mp.tot_blk) == 16
+    assert int(r_mp.err_blk) == int(r_dp.err_blk)
+    assert int(r_mp.err_bit) == int(r_dp.err_bit)
+    # soft metrics: f32 psum reordering — close, not bitwise
+    np.testing.assert_allclose(
+        np.asarray(r_mp.metrics), np.asarray(r_dp.metrics), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_edge_sharded_two_phase_bit_identical(assets):
+    """The two-phase edge-sharded decoder (phase-1 full batch, compacted
+    phase-2 tiles — the per-codeword early exit of
+    binaryldpccodec.cc:217-232 recovered for the row-sharded core) must be
+    BIT-identical to the single-phase edge-sharded decoder: BP is
+    deterministic and per-codeword independent, so compaction only
+    reschedules wasted work."""
+    from jax.sharding import Mesh
+
+    from kmldpc_tpu.parallel.edge_sharded import make_edge_sharded_decoder
+
+    code = load_code(str(assets / "PEG2304regular0.5.txt"))
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("model",))
+    rng = np.random.default_rng(17)
+    b = 32
+    uu = rng.integers(0, 2, size=(b, code.code_dim)).astype(np.uint8)
+    cc = np.stack([code.encode_reference(u) for u in uu])
+    sig = 1 - 2 * cc.astype(np.float64)
+    llr = jax.numpy.asarray(
+        4.0 * sig + rng.normal(scale=3.0, size=sig.shape), jax.numpy.float32
+    )
+    d1 = make_edge_sharded_decoder(code, mesh)
+    d2 = make_edge_sharded_decoder(code, mesh, phase1_iters=4, tile=8)
+    # the batch must actually exercise phase 2: stragglers at the
+    # phase-1 budget force the compacted tile loop to run
+    assert int(np.asarray(d1(llr, 4).converged).sum()) < b
+    r1 = d1(llr, 30)
+    r2 = d2(llr, 30)
+    np.testing.assert_array_equal(np.asarray(r1.cc_hat), np.asarray(r2.cc_hat))
+    np.testing.assert_array_equal(
+        np.asarray(r1.converged), np.asarray(r2.converged)
+    )
+    np.testing.assert_array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
+    np.testing.assert_array_equal(
+        np.asarray(r1.soft_syndrome), np.asarray(r2.soft_syndrome)
+    )
+    assert int(np.asarray(r1.converged).sum()) > 0
+
+
 def test_model_parallel_validation(spec):
     from kmldpc_tpu.parallel.edge_sharded import (
         get_mesh_2d,
