@@ -119,13 +119,20 @@ class Simulator:
                          -(-cfg.range.maximum_block_number // self.batch)))
         self.snr_fold = 0
         if cfg.tpu.snr_fold > 1 and (
-            cfg.histogram.enable or self.spec.kmeans_dump
-            or cfg.tpu.model_parallel > 1 or cfg.tpu.debug_blocks > 0
+            self.spec.kmeans_dump or cfg.tpu.model_parallel > 1
         ):
+            # Round 5 lifted the histogram and debug_blocks restrictions
+            # (the reference runs every SNR point concurrently in ALL
+            # modes, simulator.cc:27,35-42 — short many-point histogram
+            # sweeps are exactly snr_fold's win case): the folded path
+            # demuxes per-point histogram files and per-point debug
+            # chatter from the slot axis.  kmeans_dump stays sequential
+            # (a first-launch-only .mat export gains nothing from
+            # folding), as does model_parallel (the folded runner has no
+            # (slot x data x model) formulation).
             raise ValueError(
-                "[tpu].snr_fold is incompatible with histogram mode, "
-                "kmeans_dump_dir, debug_blocks, and model_parallel "
-                "(use the sequential path for the diagnostic modes)"
+                "[tpu].snr_fold is incompatible with kmeans_dump_dir and "
+                "model_parallel (use the sequential path for those)"
             )
         if runner_factory is not None:
             self.runner = runner_factory(self.spec, self.batch)
@@ -354,7 +361,9 @@ class Simulator:
             f"k-means diagnostics: wrote {nb} blocks to {d}", to_stdout=False
         )
 
-    def _log_debug_blocks(self, res: ChunkResult, tot_before: int) -> None:
+    def _log_debug_blocks(
+        self, res: ChunkResult, tot_before: int, slot: int | None = None
+    ) -> None:
         """Per-block debug chatter, logfile only ([tpu].debug_blocks).
 
         Replicates the reference's per-block lines and formats:
@@ -366,15 +375,21 @@ class Simulator:
         printed before std::abs; soft metrics are log-sums <= 0, so
         pre-abs = -|metric| there), and ``hatIndex = k``
         (kmcodec.cc:64).
+
+        ``slot`` selects one launch slot of a folded dispatch (the
+        ChunkResult arrays carry a leading [m] axis there); None for the
+        sequential path's unstacked result.
         """
-        n = min(self.spec.debug_blocks, int(np.asarray(res.tot_blk)))
-        hr_t = np.asarray(res.debug[0])
-        hi_t = np.asarray(res.debug[1])
+        sel = (lambda a: np.asarray(a)[slot]) if slot is not None else np.asarray
+        nblk = int(sel(res.tot_blk))
+        n = min(self.spec.debug_blocks, nblk)
+        hr_t = sel(res.debug[0])
+        hi_t = sel(res.debug[1])
         blind = len(res.debug) > 2
         if blind:
-            h4_r = np.asarray(res.debug[2])
-            h4_i = np.asarray(res.debug[3])
-            metrics = np.asarray(res.metrics)
+            h4_r = sel(res.debug[2])
+            h4_i = sel(res.debug[3])
+            metrics = sel(res.metrics)
             pre = -metrics if self.spec.metric_type else metrics
         for j in range(min(n, hr_t.shape[0])):
             self.log.info(
@@ -457,6 +472,19 @@ class Simulator:
         pkeys: dict[float, jax.Array] = {}
         last_print: dict[float, int] = {}
         blk0: dict[float, int] = {}  # blocks already done before this run
+        # per-point wall attribution: each consume's wall delta is split
+        # evenly over the dispatch's valid slots and charged to their
+        # points, so folded per-point wall_s/blocks_per_s sum to the run's
+        # compute span and stay comparable with sequential sweeps
+        # (round 5; previously the aggregate rate was replicated onto
+        # every point).  t_mark advances at every consume.
+        wall_attr: dict[float, float] = {}
+        t_mark = t0
+        # per-point histogram files, demuxed from the slot axis
+        # (simulator.cc:91-94's per-point files; the folded analogue) —
+        # opened lazily on the point's first consumed slot
+        hist_files: dict[float, object] = {}
+        debug_pending: dict[float, bool] = {}
         for snr in points:
             saved = state["snr"].get(f"{snr:.3f}")
             c = _Counters.from_saved(saved) if saved else _Counters()
@@ -466,6 +494,8 @@ class Simulator:
             launched[snr] = c.chunks
             inflight[snr] = 0
             last_print[snr] = c.tot_blk
+            wall_attr[snr] = 0.0
+            debug_pending[snr] = self.spec.debug_blocks > 0
             pkeys[snr] = jax.random.fold_in(
                 self.root_key, int(round(snr * 1000)) & 0xFFFFFFFF
             )
@@ -492,6 +522,7 @@ class Simulator:
             )
 
         def consume(dispatch) -> None:
+            nonlocal t_mark
             slots, res = dispatch
             err_bit = np.asarray(res.err_bit)
             err_blk = np.asarray(res.err_blk)
@@ -499,6 +530,10 @@ class Simulator:
             tot_blk = np.asarray(res.tot_blk)
             err_sq = np.asarray(res.err_bit_sq)
             iters = np.asarray(res.iters)
+            now = time.monotonic()
+            n_valid = sum(1 for _, v in slots if v)
+            dt_slot = (now - t_mark) / n_valid if n_valid else 0.0
+            t_mark = now
             for j, (snr, valid) in enumerate(slots):
                 if not valid:
                     # dead padding slot — discard; it never incremented
@@ -508,6 +543,7 @@ class Simulator:
                     # review, regression-tested below)
                     continue
                 inflight[snr] -= 1
+                wall_attr[snr] += dt_slot
                 c = cs[snr]
                 c.chunks += 1
                 c.err_bit += int(err_bit[j])
@@ -515,6 +551,20 @@ class Simulator:
                 c.tot_bit += int(tot_bit[j])
                 c.tot_blk += int(tot_blk[j])
                 c.err_bit_sq += float(err_sq[j])
+                if cfg.histogram.enable:
+                    f = hist_files.get(snr)
+                    if f is None:
+                        f = hist_files[snr] = open(
+                            f"histogram_{snr:.6f}.txt", "w"
+                        )
+                    self._write_histogram(f, np.asarray(res.metrics[j]))
+                if debug_pending[snr] and res.debug:
+                    # first consumed launch of the point only, like the
+                    # sequential path
+                    self._log_debug_blocks(
+                        res, c.tot_blk - int(tot_blk[j]), slot=j
+                    )
+                    debug_pending[snr] = False
                 self.log.info(
                     f"chunk {c.chunks} [snr {snr:.3f}]: "
                     f"mean BP iters = {float(iters[j]):.2f}",
@@ -560,14 +610,15 @@ class Simulator:
             pending.append((slots, res))
             if len(pending) > 1:  # double-buffered: consume the older one
                 consume(pending.pop(0))
-        wall = time.monotonic() - t0
-        # Throughput attribution: the dispatches are shared across points,
-        # so the honest per-point figure is the AGGREGATE device rate over
-        # the blocks this run actually computed, replicated onto every
-        # active point; points fully restored from the checkpoint report
-        # 0/0 like the sequential path does.
-        run_blocks = sum(cs[p].tot_blk - blk0[p] for p in points)
-        agg_bps = run_blocks / wall if wall > 0 else 0.0
+        for f in hist_files.values():
+            f.close()
+        # Per-point wall attribution (round 5): every consume charged its
+        # wall delta to the slots it carried, so the per-point wall_s sum
+        # to the run's compute span (t0 .. last consume) and the per-point
+        # blocks_per_s are comparable with sequential sweep logs.  The
+        # first dispatch's delta includes compile/warmup, like the
+        # sequential path's first launch does.  Points fully restored from
+        # the checkpoint report 0/0 like the sequential path does.
 
         results: list[SnrResult] = []
         for snr in points:
@@ -576,11 +627,15 @@ class Simulator:
             done[snr] = True
             save_point(snr)
             self._print_result(snr, c)
+            w = wall_attr[snr]
+            run_blocks = c.tot_blk - blk0[snr]
             results.append(SnrResult(
                 snr=snr, ber=c.ber, fer=c.fer, tot_blk=c.tot_blk,
                 err_blk=c.err_blk, err_bit=c.err_bit, tot_bit=c.tot_bit,
-                wall_s=0.0 if restored else wall,
-                blocks_per_s=0.0 if restored else agg_bps,
+                wall_s=0.0 if restored else w,
+                blocks_per_s=(
+                    0.0 if restored or w <= 0 else run_blocks / w
+                ),
                 err_bit_sq=c.err_bit_sq,
             ))
         if self._ckpt_path():

@@ -283,10 +283,114 @@ def test_snr_fold_non_divisible_padding_terminates(assets):
         assert (a.err_blk, a.err_bit) == (b.err_blk, b.err_bit), a.snr
 
 
-def test_snr_fold_rejects_debug_blocks(assets):
-    cfg = _cfg(assets, tpu=dict(snr_fold=2, debug_blocks=2))
-    with pytest.raises(ValueError, match="debug_blocks"):
+def test_snr_fold_rejects_kmeans_dump_and_model_parallel(assets):
+    """histogram and debug_blocks fold since round 5 (the reference runs
+    every SNR point concurrently in ALL modes, simulator.cc:35-42); the
+    remaining sequential-only diagnostics are kmeans_dump and
+    model_parallel."""
+    cfg = _cfg(assets, decoder=dict(true_h_arg=False),
+               tpu=dict(snr_fold=2, kmeans_dump_dir="/tmp/x"))
+    with pytest.raises(ValueError, match="kmeans_dump"):
         Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+    cfg = _cfg(assets, tpu=dict(snr_fold=2, model_parallel=2))
+    with pytest.raises(ValueError, match="model_parallel"):
+        Simulator(cfg, SimLogger(log_dir=None, stdout=False))
+
+
+def test_snr_fold_histogram_byte_identical(assets, tmp_path, monkeypatch):
+    """Folded histogram sweeps (allowed since round 5 — short many-point
+    histogram sweeps are exactly snr_fold's win case) demux per-point
+    histogram files from the slot axis, BYTE-identical to the sequential
+    path's files at fixed seeds (per-point launch order is preserved by
+    the round-robin assembly + FIFO consume)."""
+    common = dict(
+        range=dict(minimum_snr=16.0, maximum_snr=24.0, step_snr=4.0,
+                   maximum_block_number=24, maximum_error_number=10**9),
+        decoder=dict(true_h_arg=False),
+        histogram=dict(enable=True),
+    )
+    seq_dir = tmp_path / "seq"
+    fold_dir = tmp_path / "fold"
+    seq_dir.mkdir()
+    fold_dir.mkdir()
+    monkeypatch.chdir(seq_dir)
+    cfg = _cfg(assets, tpu=dict(batch=8, chunks_per_launch=1,
+                                data_parallel=1), **common)
+    Simulator(cfg, SimLogger(log_dir=None, stdout=False)).simulate()
+    monkeypatch.chdir(fold_dir)
+    cfgf = _cfg(assets, tpu=dict(batch=8, chunks_per_launch=1,
+                                 data_parallel=1, snr_fold=3), **common)
+    rs = Simulator(cfgf, SimLogger(log_dir=None, stdout=False)).simulate()
+    seq_files = sorted(os.listdir(seq_dir))
+    fold_files = sorted(os.listdir(fold_dir))
+    assert seq_files == fold_files and len(seq_files) == 3
+    for f in seq_files:
+        assert (seq_dir / f).read_bytes() == (fold_dir / f).read_bytes(), f
+    # per-point wall attribution: wall_s > 0 for every computed point and
+    # blocks_per_s * wall_s reproduces the point's computed blocks
+    for r in rs:
+        assert r.wall_s > 0
+        assert abs(r.blocks_per_s * r.wall_s - r.tot_blk) < 1e-6
+
+
+def test_snr_fold_debug_blocks_matches_sequential(assets, tmp_path):
+    """Folded debug_blocks chatter (allowed since round 5): the per-block
+    logfile lines of each point's FIRST launch match the sequential
+    path's lines exactly at fixed seeds."""
+    import re
+
+    common = dict(
+        range=dict(minimum_snr=20.0, maximum_snr=24.0, step_snr=4.0,
+                   maximum_block_number=16, maximum_error_number=10**9),
+        decoder=dict(true_h_arg=False),
+    )
+
+    def debug_lines(log_dir, fold):
+        tpu = dict(batch=8, chunks_per_launch=1, data_parallel=1,
+                   debug_blocks=2)
+        if fold:
+            tpu["snr_fold"] = 2
+        cfg = _cfg(assets, tpu=tpu, **common)
+        log = SimLogger(log_dir=str(log_dir), stdout=False)
+        Simulator(cfg, log).simulate()
+        log.close()
+        text = open(log._path).read()
+        pat = re.compile(
+            r"(Generated H = .*|Current Block Number = .*|Hhat = .*|"
+            r"hatIndex = .*)$"
+        )
+        return [m.group(1) for m in map(pat.search, text.splitlines()) if m]
+
+    seq = debug_lines(tmp_path / "seq", fold=False)
+    fold = debug_lines(tmp_path / "fold", fold=True)
+    assert seq and seq == fold
+
+
+def test_snr_fold_wall_attribution_sums_to_run_wall(assets):
+    """Round 5: folded sweeps attribute wall clock per point (each
+    consume's delta split over its valid slots) instead of replicating
+    the aggregate rate.  The per-point wall_s must sum to the run's
+    compute span (<= total elapsed, and the dominant share of it)."""
+    import time as _time
+
+    cfg = _cfg(
+        assets,
+        range=dict(minimum_snr=2.0, maximum_snr=6.0, step_snr=2.0,
+                   maximum_block_number=32, maximum_error_number=10**9),
+        decoder=dict(true_h_arg=True),
+        tpu=dict(batch=8, chunks_per_launch=1, data_parallel=1, snr_fold=3),
+    )
+    t0 = _time.monotonic()
+    rs = Simulator(cfg, SimLogger(log_dir=None, stdout=False)).simulate()
+    elapsed = _time.monotonic() - t0
+    total = sum(r.wall_s for r in rs)
+    assert all(r.wall_s > 0 for r in rs)
+    assert total <= elapsed
+    # Simulator construction is outside simulate(); the compute span still
+    # dominates the loop's non-consume tail (final prints)
+    assert total > 0.2 * elapsed
+    for r in rs:
+        assert abs(r.blocks_per_s * r.wall_s - r.tot_blk) < 1e-6
 
 
 def test_snr_fold_error_cap_terminates(assets):
