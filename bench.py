@@ -37,7 +37,22 @@ def left() -> float:
     return BUDGET_S - (time.monotonic() - T0)
 
 
-def measure(runner, key, var, passes: int = 3, n1: int = 4, n2: int = 12):
+def pick_n2(est_sec: float, n1: int = 4) -> int:
+    """Size the long run so the measured steady-state span dominates the
+    fixed relay cost (VERDICT r4 item 3: the fastest rows measured ~24 ms
+    of steady state against ~30 ms of fixed cost, spreading 17.7%).
+
+    Targets a (n2 - n1) span of >= 0.35 s (~12x the ~30 ms fixed cost),
+    floor 12 launches, capped so one run stays under ~6 s.
+    """
+    if est_sec <= 0:
+        return 12
+    n2 = n1 + max(8, int(0.35 / est_sec + 1))
+    n2 = min(n2, max(12, int(6.0 / est_sec)))
+    return max(12, min(n2, 240))
+
+
+def measure(runner, key, var, passes: int = 3, n1: int = 4, n2: int | None = None):
     """Steady-state seconds per chunk: median of ``passes`` two-point
     slopes, plus the min-max spread across passes.
 
@@ -64,6 +79,10 @@ def measure(runner, key, var, passes: int = 3, n1: int = 4, n2: int = 12):
     interleaved slopes is quoted and ``spread_pct`` = (max - min)/median
     carries the in-run uncertainty into every reported row.
 
+    ``n2 = None`` sizes the long run per row from the warmup estimate
+    (:func:`pick_n2`) so fast rows measure a steady-state span that
+    dominates the ~30 ms fixed relay cost instead of drowning in it.
+
     Returns ``(sec_per_chunk_median, spread_pct)``.
     """
     import jax
@@ -80,6 +99,8 @@ def measure(runner, key, var, passes: int = 3, n1: int = 4, n2: int = 12):
         if prev is not None and i >= 2 and dt < prev * 1.15 and prev < dt * 1.15:
             break
         prev = dt
+    if n2 is None:
+        n2 = pick_n2(prev / 3 if prev else 0.0, n1)
     secs = []
     fallback = None
     for p in range(2 * passes):  # retry budget for stall-corrupted passes
@@ -107,7 +128,13 @@ def main() -> None:
     import numpy as np
 
     from kmldpc_tpu.sim.chain import make_chunk_runner
-    from tools.rows import bench_rows, make_spec
+    from tools.rows import (
+        CAL_NOMINAL_BLK_S,
+        bench_rows,
+        calibrated,
+        calibration_row,
+        make_spec,
+    )
 
     batch_env = int(os.environ.get("KMLDPC_BENCH_BATCH", "1024"))
     # "float32" (reference-parity default) or "bfloat16" (opt-in message
@@ -126,14 +153,23 @@ def main() -> None:
 
     rows_out: dict = {"device": str(dev)}
     headline_bits = None
+    # Session calibration (round 5; tools/rows.py): the fixed PEG2304
+    # known-h program is timed FIRST every session; each row then carries
+    # a `calibrated` blocks_per_s normalized by the session factor, so
+    # rows are comparable across relay windows despite the ±20-24%
+    # cross-window drift.  The calibration row doubles as the known-h A/B
+    # row (same program, pinned shape), so it costs nothing extra.
+    cal_factor = 0.0
     # The shared row matrix (tools/rows.py) — one definition serves this
     # harness, tools/microbench.py, and tests/test_bench_rows.py.
-    for i, r in enumerate(bench_rows()):
+    cal = calibration_row()
+    rows = [cal] + [r for r in bench_rows() if r.name != cal.name]
+    for i, r in enumerate(rows):
         batch = r.batch or batch_env
         cpl = r.cpl or cpl_env
-        # The first two rows are mandatory (headline + its known-h A/B);
-        # later rows yield to the budget so the driver's timeout is never
-        # hit mid-row.  Never skip silently.
+        # The first two rows are mandatory (the calibration/known-h A/B +
+        # the headline); later rows yield to the budget so the driver's
+        # timeout is never hit mid-row.  Never skip silently.
         if i >= 2 and left() < 150:
             print(f"bench: SKIPPED {r.name} (budget: {left():.0f}s left)",
                   file=sys.stderr)
@@ -145,9 +181,19 @@ def main() -> None:
         sec /= cpl
         blk_s = batch / sec
         bits_s = blk_s * spec.code.code_dim
+        if i == 0:
+            cal_factor = blk_s / CAL_NOMINAL_BLK_S
+            rows_out["_calibration"] = {
+                "row": r.name, "blocks_per_s": round(blk_s, 1),
+                "nominal_blocks_per_s": CAL_NOMINAL_BLK_S,
+                "factor": round(cal_factor, 4),
+            }
+            print(f"bench: calibration {blk_s:,.0f} blk/s -> session factor "
+                  f"{cal_factor:.3f}", file=sys.stderr)
         row = {
             "blocks_per_s": round(blk_s, 1),
             "info_bits_per_s": round(bits_s, 1),
+            "calibrated": round(calibrated(blk_s, "blocks_per_s", cal_factor), 1),
             "spread_pct": round(spread, 1),
             "batch": batch, "chunks_per_launch": cpl, "snr_db": r.snr_db,
             "schedule": r.schedule,

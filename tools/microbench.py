@@ -246,7 +246,68 @@ def bench_kmeans(results: dict, batch: int = 1024, nsym: int = 1152,
 # The chain row matrix lives in tools/rows.py — ONE definition shared with
 # bench.py and pinned by tests/test_bench_rows.py (the "landed unbenched"
 # fix of rounds 1-3, now without a second copy to drift).
-from tools.rows import CHAIN_ROWS, make_spec  # noqa: E402
+from tools.rows import (  # noqa: E402
+    CAL_NOMINAL_BLK_S,
+    CHAIN_ROWS,
+    calibrated,
+    calibration_row,
+    make_spec,
+)
+
+_PRIMARY = ("us_per_iter", "us_per_call", "blocks_per_s")
+
+
+def run_calibration(results: dict, passes: int = 3) -> float:
+    """Time the fixed calibration program (tools/rows.py) and record the
+    session factor under ``_calibration``.  Returns the factor (0.0 if the
+    measurement failed — rows then carry no ``calibrated`` field).
+
+    Round 5: in-run spread is ±1-7% but the same row drifts ±20-24%
+    between relay windows (benchmarks/RESULTS.md), so raw cross-session
+    diffs can hide real regressions.  Every microbench session times this
+    one pinned program FIRST; each row's ``calibrated`` value is its
+    primary metric normalized by the session factor, and ``--diff``
+    compares calibrated values when both sides carry them.
+    """
+    import jax
+    import numpy as np
+
+    from kmldpc_tpu.sim.chain import make_chunk_runner
+
+    r = calibration_row()
+    spec = make_spec(r, ASSETS)
+    runner = make_chunk_runner(spec, r.batch, r.cpl)
+    var = np.float32(10.0 ** (-0.1 * r.snr_db))
+    key = jax.random.key(42)
+    sec, spread = steady(
+        lambda i: runner(jax.random.fold_in(key, i), var).err_blk,
+        passes=passes,
+    )
+    blk_s = r.batch * r.cpl / sec
+    factor = blk_s / CAL_NOMINAL_BLK_S
+    results["_calibration"] = {
+        "row": r.name, "blocks_per_s": round(blk_s, 1),
+        "nominal_blocks_per_s": CAL_NOMINAL_BLK_S,
+        "factor": round(factor, 4), "spread_pct": round(spread, 1),
+    }
+    _save(results)
+    print(f"calibration: {blk_s:,.0f} blk/s -> session factor {factor:.3f} "
+          f"±{spread:.1f}%", file=sys.stderr)
+    return factor
+
+
+def apply_calibration(results: dict) -> None:
+    """Stamp each row's ``calibrated`` primary metric from ``_calibration``."""
+    factor = results.get("_calibration", {}).get("factor", 0.0)
+    if not factor:
+        return
+    for k, row in results.items():
+        if not isinstance(row, dict) or k == "_calibration":
+            continue
+        for m in _PRIMARY:
+            if m in row:
+                row["calibrated"] = round(calibrated(row[m], m, factor), 1)
+                break
 
 
 def bench_chain(results: dict, only: str | None = None,
@@ -283,34 +344,44 @@ def bench_chain(results: dict, only: str | None = None,
               file=sys.stderr)
 
 
-def diff_against(results: dict, baseline_path: str) -> None:
-    """Print a per-row regression report vs a committed baseline JSON.
+def diff_against(results: dict, baseline_path: str) -> list[dict]:
+    """Print (and return) a per-row regression report vs a baseline JSON.
 
     Rows sharing a key are compared on their primary metric (us_per_iter /
-    us_per_call: lower is better; blocks_per_s: higher is better).  Rows
-    present on only one side are listed — a silently dropped row is how
-    perf regressions have hidden twice (VERDICT rounds 1-2).
+    us_per_call: lower is better; blocks_per_s: higher is better).  When
+    BOTH sides carry a ``calibrated`` value (round 5), the comparison uses
+    it — the session-normalized metric exposes regressions that raw
+    numbers hide inside the ±20-24% cross-window drift.  Rows present on
+    only one side are listed — a silently dropped row is how perf
+    regressions have hidden twice (VERDICT rounds 1-2).
     """
     with open(baseline_path) as f:
         base = json.load(f)
-    metrics = ("us_per_iter", "us_per_call", "blocks_per_s")
-    keys = sorted((set(base) | set(results)) - {"device"})
+    keys = sorted((set(base) | set(results)) - {"device", "_calibration"})
     print(f"--- diff vs {baseline_path} ---", file=sys.stderr)
+    report: list[dict] = []
     for k in keys:
         b, r = base.get(k), results.get(k)
         if b is None or r is None:
-            print(f"{k}: {'NEW' if b is None else 'MISSING (was in baseline)'}",
-                  file=sys.stderr)
+            note = "NEW" if b is None else "MISSING (was in baseline)"
+            print(f"{k}: {note}", file=sys.stderr)
+            report.append({"row": k, "note": note})
             continue
-        for m in metrics:
+        for m in _PRIMARY:
             if m in b and m in r and b[m]:
                 better_low = m.startswith("us_")
-                change = (r[m] - b[m]) / b[m] * 100.0
+                use_cal = "calibrated" in b and "calibrated" in r and b["calibrated"]
+                bv, rv = (b["calibrated"], r["calibrated"]) if use_cal else (b[m], r[m])
+                change = (rv - bv) / bv * 100.0
                 word = ("slower" if change > 0 else "faster") if better_low else \
                        ("faster" if change > 0 else "slower")
-                print(f"{k}: {m} {b[m]:,} -> {r[m]:,} ({abs(change):.1f}% {word})",
+                label = f"{m}[calibrated]" if use_cal else m
+                print(f"{k}: {label} {bv:,} -> {rv:,} ({abs(change):.1f}% {word})",
                       file=sys.stderr)
+                report.append({"row": k, "metric": label, "base": bv, "new": rv,
+                               "change_pct": change, "worse": (change > 0) == better_low})
                 break
+    return report
 
 
 def main() -> None:
@@ -324,6 +395,9 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=None,
                     help="interleaved slope passes per row (median + spread; "
                          "default: 3 for chain, 1 for decoder/kmeans)")
+    ap.add_argument("--no-calibration", action="store_true",
+                    help="skip the session-calibration program (rows then "
+                         "carry raw metrics only)")
     args = ap.parse_args()
     groups = args.groups or ["decoder", "kmeans", "chain"]
     global _JSON_PATH
@@ -333,6 +407,8 @@ def main() -> None:
 
     print(f"microbench: device={jax.devices()[0]}", file=sys.stderr)
     results: dict = {"device": str(jax.devices()[0])}
+    if not args.no_calibration:
+        run_calibration(results, passes=args.passes or 3)
     for g in groups:
         if g == "decoder":
             bench_decoders(results, passes=args.passes or 1)
@@ -345,6 +421,7 @@ def main() -> None:
                         passes=args.passes or 3)
         else:
             raise SystemExit(f"unknown group {g!r}")
+    apply_calibration(results)
     out = json.dumps(results, indent=1)
     _save(results)
     if args.diff:

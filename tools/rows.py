@@ -107,6 +107,41 @@ def bench_rows() -> list[ChainRow]:
     return sorted(rows, key=lambda r: r.bench_rank)
 
 
+# --- session calibration (round 5) -----------------------------------------
+# The relay's throughput drifts ±20-24% BETWEEN windows while in-run spread
+# is ±1-7% (benchmarks/RESULTS.md), so a real regression can hide inside the
+# documented cross-window range.  Every bench session therefore times ONE
+# fixed calibration program FIRST — the PEG2304 known-h chain at a pinned
+# shape — and reports each row both raw and normalized by the session's
+# calibration factor (cal_blk_s / CAL_NOMINAL_BLK_S).  Two sessions' fleets
+# of `calibrated` values are comparable even across relay windows;
+# microbench --diff compares them when both sides carry them.
+CAL_ROW_NAME = "PEG2304+QPSK/known"
+CAL_BATCH = 1024
+CAL_CPL = 16
+CAL_SNR_DB = 15.0
+# Anchor: the round-4 driver-bench session (BENCH_r04 / bench_rows_latest).
+# Arbitrary but FIXED — changing it rescales every calibrated value, so
+# bump it only together with all committed baselines.
+CAL_NOMINAL_BLK_S = 312_804.0
+
+
+def calibration_row() -> ChainRow:
+    """The calibration program's row (pinned batch/cpl, never env-scaled)."""
+    base = next(r for r in CHAIN_ROWS if r.name == CAL_ROW_NAME)
+    return dataclasses.replace(base, batch=CAL_BATCH, cpl=CAL_CPL)
+
+
+def calibrated(value: float, metric: str, factor: float) -> float:
+    """Session-normalize ``value``: divide higher-better rates by the
+    session factor, multiply lower-better latencies by it (a slow window
+    has factor < 1: raw rates read low -> divide corrects up; raw
+    latencies read high -> multiply corrects down)."""
+    if factor <= 0:
+        return value
+    return value * factor if metric.startswith("us_") else value / factor
+
+
 def make_spec(row: ChainRow, assets_dir: str, dtype: str = "float32",
               max_iter: int = 50) -> Any:
     """Build the row's ChainSpec (row.extra wins over the dtype default)."""
