@@ -126,8 +126,9 @@ class TpuConfig:
     # Data-parallel axis size; 0 = use all visible devices.
     data_parallel: int = 0
     # Model-parallel axis size (0/1 = off).  N >= 2 builds a
-    # (data x model) 2-D mesh and row-shards the FINAL decode's message
-    # state over N devices (parallel/edge_sharded.py) — for codes/batches
+    # (data x model) 2-D mesh and row-shards the decode message state —
+    # the final decode AND, in blind mode, the 4-candidate metric decodes
+    # (parallel/edge_sharded.py) — over N devices, for codes/batches
     # whose c2v state exceeds one chip's HBM (PEG8064 at B=1024 f32 is
     # 99 MB).  Requires a flooding schedule; data_parallel then sets the
     # data axis (0 = all remaining devices).
@@ -140,7 +141,10 @@ class TpuConfig:
     # dispatch overhead m ways; per-point counters are bit-identical to the
     # sequential path for block-capped sweeps (the error-cap rule can
     # overrun by the in-flight slots instead of one launch — same
-    # launch-granular divergence class, see sim/montecarlo.py).
+    # launch-granular divergence class, see sim/montecarlo.py).  Folds
+    # histogram and debug_blocks sweeps too (per-point files/chatter
+    # demuxed from the slot axis); incompatible only with kmeans_dump_dir
+    # and model_parallel.
     snr_fold: int = 0
     # Rayleigh fading per block (reference behavior, simulator.cc:121-123).
     # False pins h = 1 exactly (pure AWGN, driver config #0); the reference

@@ -58,6 +58,22 @@ PAIRS = [
     ("ours_blind_8064_fminsum_r4.json", "ref_blind_8064_64qam_r5.log", 4032),
     ("ours_known_qpsk_bf16_r4.json", "ref_known_qpsk_r5.log", 1152),
     ("ours_known_qpsk_fminsum_r4.json", "ref_known_qpsk_r5.log", 1152),
+    # round 5: ALL ELEVEN sweeps (the ten r4 sweeps + the new sweep 10)
+    # regenerated end-to-end on chip through the folded production path on
+    # the round-5 code, judged against the deepened reference logs
+    ("ours_known_qpsk_r5.json", "ref_known_qpsk_r5.log", 1152),
+    ("ours_blind_16qam_r5.json", "ref_blind_16qam.log", 1152),
+    ("ours_known_5g16qam_r5.json", "ref_known_5g16qam.log", 960),
+    ("ours_known_5g16qam_minsum_r5.json", "ref_known_5g16qam.log", 960),
+    ("ours_blind_5g_soft_r5.json", "ref_blind_5g_soft.log", 960),
+    ("ours_blind_8064_64qam_r5.json", "ref_blind_8064_64qam_r5.log", 4032),
+    ("ours_known_qpsk_bf16_r5.json", "ref_known_qpsk_r5.log", 1152),
+    ("ours_blind_5g_soft_minsum_r5.json", "ref_blind_5g_soft.log", 960),
+    ("ours_blind_8064_fminsum_r5.json", "ref_blind_8064_64qam_r5.log", 4032),
+    ("ours_known_qpsk_fminsum_r5.json", "ref_known_qpsk_r5.log", 1152),
+    # sweep 10: the PEG2304 fast stack (fminsum + matched metrics +
+    # metric_prune) vs its dedicated blind-QPSK reference log
+    ("ours_blind_qpsk_fminsum_prune.json", "ref_blind_qpsk.log", 1152),
 ]
 
 
