@@ -37,19 +37,10 @@ def left() -> float:
     return BUDGET_S - (time.monotonic() - T0)
 
 
-def pick_n2(est_sec: float, n1: int = 4) -> int:
-    """Size the long run so the measured steady-state span dominates the
-    fixed relay cost (VERDICT r4 item 3: the fastest rows measured ~24 ms
-    of steady state against ~30 ms of fixed cost, spreading 17.7%).
-
-    Targets a (n2 - n1) span of >= 0.35 s (~12x the ~30 ms fixed cost),
-    floor 12 launches, capped so one run stays under ~6 s.
-    """
-    if est_sec <= 0:
-        return 12
-    n2 = n1 + max(8, int(0.35 / est_sec + 1))
-    n2 = min(n2, max(12, int(6.0 / est_sec)))
-    return max(12, min(n2, 240))
+# Adaptive long-run sizing (shared with tools/microbench.py; the r4
+# fast-row spread fix lives in tools/rows.py next to the calibration
+# machinery so both harnesses measure the same way).
+from tools.rows import pick_n2  # noqa: E402
 
 
 def measure(runner, key, var, passes: int = 3, n1: int = 4, n2: int | None = None):

@@ -263,6 +263,81 @@ _EDGE_WORKER = textwrap.dedent(
 )
 
 
+_MP_CHAIN_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, sys.argv[3])
+    os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:" + sys.argv[2]
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = sys.argv[1]
+    from kmldpc_tpu.parallel.distributed import maybe_initialize
+    assert maybe_initialize(), "expected multi-process"
+    import jax, numpy as np
+    assert jax.process_count() == 2 and len(jax.devices()) == 4
+    root = sys.argv[3]
+    from jax.sharding import Mesh
+    from kmldpc_tpu.code import load_code
+    from kmldpc_tpu.io import parse_constellation
+    from kmldpc_tpu.parallel.edge_sharded import (
+        make_model_parallel_chunk_runner)
+    from kmldpc_tpu.sim.chain import ChainSpec
+    code = load_code(os.path.join(root, "assets", "PEG2304regular0.5.txt"))
+    const = parse_constellation(os.path.join(root, "assets",
+                                             "4bit_16QAM_Gray.txt"))
+    # BLIND chain with the SOFT metric over a (2 data x 2 model) mesh.
+    # jax.devices() orders by process, so the default reshape would keep
+    # each model group inside one process; TRANSPOSE it so every model
+    # group holds one device from EACH process — the round-5 sharded
+    # metric decodes and the two-phase final decode then run their
+    # per-iteration posterior psums over the cross-process Gloo backend
+    # (the DCN stand-in).
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 2).T, ("data", "model"))
+    spec = ChainSpec(code=code, constellation=const, known_h=False,
+                     fading=True, metric_type=True, metric_iter=3,
+                     max_iter=20, encoder_active=True, histogram=False,
+                     phase1_iters=3)
+    run = make_model_parallel_chunk_runner(spec, 8, mesh)
+    res = run(jax.random.key(4), np.float32(10 ** (-2.4)))
+    print("MPCHAIN", int(res.tot_blk), int(res.err_blk), int(res.err_bit),
+          flush=True)
+    """
+)
+
+
+def test_two_process_model_parallel_blind_chain(tmp_path):
+    """The FULL blind model-parallel chain across TWO processes (round 5):
+    k-means, soft-metric decodes through the row-sharded slab decoder,
+    and the two-phase final decode all run over a (data x model) mesh
+    whose model-axis psums cross the Gloo process boundary.  Both
+    processes must report identical replicated counters."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "mp_chain_worker.py"
+    worker.write_text(_MP_CHAIN_WORKER)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if "axon" not in v.lower()}
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), port, root],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    lines = {line for o in outs for line in o.splitlines()
+             if line.startswith("MPCHAIN")}
+    assert len(lines) == 1, lines
+    _, tot_blk, err_blk, _ = lines.pop().split()
+    assert int(tot_blk) == 8
+    assert int(err_blk) <= 1  # 24 dB known-good operating point
+
+
 def test_two_process_edge_sharded_decode(tmp_path):
     """Edge-sharded BP across TWO processes: the message state spans the
     cross-process mesh and each iteration's posterior psum runs over the

@@ -46,7 +46,7 @@ def _save(results: dict) -> None:
         os.replace(tmp, _JSON_PATH)
 
 
-def steady(fn, n1: int = 6, n2: int = 18, passes: int = 1):
+def steady(fn, n1: int = 6, n2: int | None = None, passes: int = 1):
     """Steady-state seconds per call via a two-point slope.
 
     ``fn(i)`` must dispatch device work for index ``i`` and return a 0-d jax
@@ -63,10 +63,18 @@ def steady(fn, n1: int = 6, n2: int = 18, passes: int = 1):
     relay's throughput drifts ±3-5% (one observed 12% window) between
     passes, so single-pass numbers carry no error bar (VERDICT r3 item 5).
 
+    ``n2 = None`` (default) sizes the long run from the warmup estimate
+    (tools/rows.py pick_n2): fast calls (< ~20 ms) get enough of them
+    that the measured span dominates the ~30 ms fixed relay cost — the
+    fixed n2=18 of earlier rounds gave a 1.9 ms/launch chain row only a
+    ~34 ms span and one ±41% pass (microbench_r5.json).
+
     Returns ``(sec_per_call_median, spread_pct)``; spread is 0.0 for
     ``passes=1``.
     """
     import numpy as np
+
+    from tools.rows import pick_n2
 
     def run(n: int, base: int) -> float:
         t0 = time.perf_counter()
@@ -82,6 +90,8 @@ def steady(fn, n1: int = 6, n2: int = 18, passes: int = 1):
         if prev is not None and probe >= 1 and dt < prev * 1.15 and prev < dt * 1.15:
             break
         prev = dt
+    if n2 is None:
+        n2 = max(18, pick_n2(prev / 3 if prev else 0.0, n1))
     vals = []
     fallback = None
     for p in range(2 * passes):  # retry budget for stall-corrupted passes

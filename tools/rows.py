@@ -132,6 +132,24 @@ def calibration_row() -> ChainRow:
     return dataclasses.replace(base, batch=CAL_BATCH, cpl=CAL_CPL)
 
 
+def pick_n2(est_sec: float, n1: int = 4) -> int:
+    """Size a slope measurement's long run from the per-call estimate so
+    the steady-state span dominates the fixed ~30 ms relay cost
+    (VERDICT r4 item 3: a fast row measuring ~24 ms of steady state
+    against ~30 ms of fixed cost spread 17.7%; a 1.9 ms/launch microbench
+    row hit a ±41% pass the same way).
+
+    Targets a (n2 - n1) span >= 0.35 s (~12x the fixed cost), floor 12
+    calls, capped so one run stays under ~6 s.  Shared by bench.measure()
+    and microbench.steady().
+    """
+    if est_sec <= 0:
+        return 12
+    n2 = n1 + max(8, int(0.35 / est_sec + 1))
+    n2 = min(n2, max(12, int(6.0 / est_sec)))
+    return max(12, min(n2, 240))
+
+
 def calibrated(value: float, metric: str, factor: float) -> float:
     """Session-normalize ``value``: divide higher-better rates by the
     session factor, multiply lower-better latencies by it (a slow window
