@@ -581,37 +581,43 @@ class Simulator:
 
         rr = 0  # round-robin cursor over points
         pending: list = []
-        while True:
-            # assemble the next dispatch: m slots round-robined over the
-            # points that still want a launch (a point may take several
-            # slots — consecutive launch indices — when few points remain)
-            slots: list[tuple[float, bool]] = []
-            keys, vars_ = [], []
-            while len(slots) < m and any(wants(p) for p in points):
-                snr = points[rr % len(points)]
-                rr += 1
-                if not wants(snr):
-                    continue
-                slots.append((snr, True))
-                keys.append(jax.random.fold_in(pkeys[snr], launched[snr]))
-                vars_.append(10.0 ** (-0.1 * snr))
-                launched[snr] += 1
-                inflight[snr] += 1
-            if not slots:
-                if pending:
+        try:
+            while True:
+                # assemble the next dispatch: m slots round-robined over
+                # the points that still want a launch (a point may take
+                # several slots — consecutive launch indices — when few
+                # points remain)
+                slots: list[tuple[float, bool]] = []
+                keys, vars_ = [], []
+                while len(slots) < m and any(wants(p) for p in points):
+                    snr = points[rr % len(points)]
+                    rr += 1
+                    if not wants(snr):
+                        continue
+                    slots.append((snr, True))
+                    keys.append(jax.random.fold_in(pkeys[snr], launched[snr]))
+                    vars_.append(10.0 ** (-0.1 * snr))
+                    launched[snr] += 1
+                    inflight[snr] += 1
+                if not slots:
+                    if pending:
+                        consume(pending.pop(0))
+                        continue
+                    break
+                while len(slots) < m:  # dead padding, discarded on consume
+                    slots.append((slots[0][0], False))
+                    keys.append(keys[0])
+                    vars_.append(vars_[0])
+                res = self.runner(jnp.stack(keys), np.asarray(vars_, np.float32))
+                pending.append((slots, res))
+                if len(pending) > 1:  # double-buffered: consume the older one
                     consume(pending.pop(0))
-                    continue
-                break
-            while len(slots) < m:  # dead padding, discarded on consume
-                slots.append((slots[0][0], False))
-                keys.append(keys[0])
-                vars_.append(vars_[0])
-            res = self.runner(jnp.stack(keys), np.asarray(vars_, np.float32))
-            pending.append((slots, res))
-            if len(pending) > 1:  # double-buffered: consume the older one
-                consume(pending.pop(0))
-        for f in hist_files.values():
-            f.close()
+        finally:
+            # per-point histogram files survive an interrupted sweep with
+            # whatever launches were consumed (the sequential path's
+            # try/finally equivalent)
+            for f in hist_files.values():
+                f.close()
         # Per-point wall attribution (round 5): every consume charged its
         # wall delta to the slots it carried, so the per-point wall_s sum
         # to the run's compute span (t0 .. last consume) and the per-point

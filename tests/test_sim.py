@@ -297,12 +297,15 @@ def test_snr_fold_rejects_kmeans_dump_and_model_parallel(assets):
         Simulator(cfg, SimLogger(log_dir=None, stdout=False))
 
 
-def test_snr_fold_histogram_byte_identical(assets, tmp_path, monkeypatch):
+@pytest.mark.parametrize("dp", [1, 2])
+def test_snr_fold_histogram_byte_identical(assets, tmp_path, monkeypatch, dp):
     """Folded histogram sweeps (allowed since round 5 — short many-point
     histogram sweeps are exactly snr_fold's win case) demux per-point
     histogram files from the slot axis, BYTE-identical to the sequential
     path's files at fixed seeds (per-point launch order is preserved by
-    the round-robin assembly + FIFO consume)."""
+    the round-robin assembly + FIFO consume).  dp=2 composes the fold
+    with the data mesh (the sharded multi-point runner's slot-major
+    metrics layout)."""
     common = dict(
         range=dict(minimum_snr=16.0, maximum_snr=24.0, step_snr=4.0,
                    maximum_block_number=24, maximum_error_number=10**9),
@@ -315,11 +318,11 @@ def test_snr_fold_histogram_byte_identical(assets, tmp_path, monkeypatch):
     fold_dir.mkdir()
     monkeypatch.chdir(seq_dir)
     cfg = _cfg(assets, tpu=dict(batch=8, chunks_per_launch=1,
-                                data_parallel=1), **common)
+                                data_parallel=dp), **common)
     Simulator(cfg, SimLogger(log_dir=None, stdout=False)).simulate()
     monkeypatch.chdir(fold_dir)
     cfgf = _cfg(assets, tpu=dict(batch=8, chunks_per_launch=1,
-                                 data_parallel=1, snr_fold=3), **common)
+                                 data_parallel=dp, snr_fold=3), **common)
     rs = Simulator(cfgf, SimLogger(log_dir=None, stdout=False)).simulate()
     seq_files = sorted(os.listdir(seq_dir))
     fold_files = sorted(os.listdir(fold_dir))
