@@ -2,6 +2,7 @@
 
 Usage:
     python tools/parity.py <reference.log> <ours.json>
+    python tools/parity.py --all      # re-judge every committed CI pair
 
 Parses the reference's final per-SNR counter lines
 (``SNR = x Total blk = n Error blk = e Error bit = eb ...``) and our
@@ -98,7 +99,33 @@ def compare(ref: dict[float, dict], ours: list[dict], info_bits: int) -> list[di
     return rows
 
 
+def run_all() -> int:
+    """Re-judge EVERY committed (reference log, ours JSON) pair — the CI
+    pair table of tests/test_parity_logs.py — and print one worst-|z|
+    line per pair.  Exit 0 iff all pass."""
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, here)
+    from tests.test_parity_logs import PAIRS, PARITY_DIR
+
+    worst_all = 0.0
+    for ours_f, ref_f, info_bits in PAIRS:
+        ref = parse_reference_log(os.path.join(PARITY_DIR, ref_f))
+        ours = json.load(open(os.path.join(PARITY_DIR, ours_f)))
+        rows = compare(ref, ours, info_bits)
+        worst = max(max(abs(r["z_fer"]), abs(r["z_ber"])) for r in rows)
+        worst_all = max(worst_all, worst)
+        print(f"{ours_f:44s} vs {ref_f:30s} worst |z| = {worst:4.2f}")
+    ok = worst_all < 4.0
+    print(f"{len(PAIRS)} pairs, overall worst |z| = {worst_all:.2f} -> "
+          f"{'PASS' if ok else 'FAIL'} (threshold 4)")
+    return 0 if ok else 1
+
+
 def main() -> int:
+    if len(sys.argv) == 2 and sys.argv[1] == "--all":
+        return run_all()
     ref_log, ours_json = sys.argv[1], sys.argv[2]
     ref = parse_reference_log(ref_log)
     ours = json.load(open(ours_json))
