@@ -322,3 +322,12 @@ def test_model_parallel_config_end_to_end():
     assert len(results) == 1
     assert results[0].tot_blk == 16
     assert results[0].fer < 1.0  # 18 dB known-h: most blocks decode
+    # the round-5 blind composition: soft-metric decodes row-sharded too
+    cfgb = load_config(
+        str(repo / "configs" / "peg8064_blind_model_parallel.toml")
+    )
+    simb = Simulator(cfgb)
+    assert getattr(simb.runner, "num_row_shards", None) == 4
+    resb = simb.simulate()
+    assert len(resb) == 1 and resb[0].tot_blk == 16
+    assert resb[0].fer < 1.0  # 22 dB blind 64QAM: most blocks decode
