@@ -285,14 +285,21 @@ def run_calibration(results: dict, passes: int = 3) -> float:
     from kmldpc_tpu.sim.chain import make_chunk_runner
 
     r = calibration_row()
-    spec = make_spec(r, ASSETS)
-    runner = make_chunk_runner(spec, r.batch, r.cpl)
-    var = np.float32(10.0 ** (-0.1 * r.snr_db))
-    key = jax.random.key(42)
-    sec, spread = steady(
-        lambda i: runner(jax.random.fold_in(key, i), var).err_blk,
-        passes=passes,
-    )
+    try:
+        spec = make_spec(r, ASSETS)
+        runner = make_chunk_runner(spec, r.batch, r.cpl)
+        var = np.float32(10.0 ** (-0.1 * r.snr_db))
+        key = jax.random.key(42)
+        sec, spread = steady(
+            lambda i: runner(jax.random.fold_in(key, i), var).err_blk,
+            passes=passes,
+        )
+    except Exception as e:
+        # a broken calibration must not kill the session's other groups —
+        # rows then carry raw metrics only (no `calibrated` field)
+        print(f"calibration FAILED ({type(e).__name__}: {e}); "
+              "rows will carry raw metrics only", file=sys.stderr)
+        return 0.0
     blk_s = r.batch * r.cpl / sec
     factor = blk_s / CAL_NOMINAL_BLK_S
     results["_calibration"] = {
