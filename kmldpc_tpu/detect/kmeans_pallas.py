@@ -82,7 +82,8 @@ def _pick_tile_sublane(
 
 
 def _kmeans_kernel(yr_ref, yi_ref, hr_ref, hi_ref, *,
-                   sr: tuple, si: tuple, iters: int, anchor: str):
+                   sr: tuple, si: tuple, iters: int, anchor: str,
+                   early_exit: bool = True):
     m_points = len(sr)
     s0_r, s0_i = sr[0], si[0]
     s0_norm = s0_r * s0_r + s0_i * s0_i
@@ -169,15 +170,63 @@ def _kmeans_kernel(yr_ref, yi_ref, hr_ref, hi_ref, *,
         new_r = (a_r * sk_r + a_i * sk_i) / sk_norm
         new_i = (a_i * sk_r - a_r * sk_i) / sk_norm
         keep = a_cnt > 0
-        return jnp.where(keep, new_r, h_r), jnp.where(keep, new_i, h_i)
+        return (
+            jnp.where(keep, new_r, h_r),
+            jnp.where(keep, new_i, h_i),
+            bestm,
+        )
 
-    h_r, h_i = jax.lax.fori_loop(0, iters, body, (h_r0, h_i0))
+    if early_exit:
+        # Early exit on stable assignments — BIT-identical to running all
+        # ``iters`` iterations: the update is a deterministic function of
+        # the assignment (the empty-anchor keep path returns the carried
+        # gain, which the stability hypothesis already fixes), so once an
+        # iteration's assignment equals the previous iteration's, every
+        # subsequent iteration reproduces exactly the same gain and
+        # assignment.  k-means on a handful of clusters typically
+        # stabilizes in ~5 of the reference's fixed 20 iterations, so the
+        # tile stops paying for the dead tail (exactness pinned by test;
+        # per-tile: the whole tile must stabilize).
+        def cond(st):
+            i, _, _, _, stable = st
+            return jnp.logical_and(i < iters, jnp.logical_not(stable))
+
+        def wbody(st):
+            i, h_r, h_i, prev, _ = st
+            new_r, new_i, bestm = body(None, (h_r, h_i))
+            return i + 1, new_r, new_i, bestm, jnp.all(bestm == prev)
+
+        _, h_r, h_i, _, _ = jax.lax.while_loop(
+            cond, wbody,
+            (jnp.int32(0), h_r0, h_i0, jnp.full((tb, s), -1, jnp.int32),
+             jnp.bool_(False)),
+        )
+    else:
+        def fbody(_, h):
+            h_r, h_i = h
+            new_r, new_i, _ = body(None, (h_r, h_i))
+            return new_r, new_i
+
+        h_r, h_i = jax.lax.fori_loop(0, iters, fbody, (h_r0, h_i0))
     hr_ref[:] = h_r[:, None]
     hi_ref[:] = h_i[:, None]
 
 
-def make_blind_estimator_pallas(tables, iters: int = 20, anchor: str = "max"):
-    """Drop-in for detect.kmeans.make_blind_estimator, Pallas-accelerated."""
+def make_blind_estimator_pallas(tables, iters: int = 20, anchor: str = "max",
+                                early_exit: bool = False):
+    """Drop-in for detect.kmeans.make_blind_estimator, Pallas-accelerated.
+
+    ``early_exit`` stops a tile's iteration loop once its assignments
+    stabilize — BIT-identical to running all ``iters`` iterations (see
+    the kernel comment, exactness pinned by test) but measured a NET LOSS
+    on v5e (round 5: QPSK 1,794 -> 3,460 µs/call, 16QAM 1,173 -> 1,390,
+    64QAM 4,113 -> 5,487 at B=1024, 15 dB-like inputs): Mosaic pipelines
+    the fixed-trip fori_loop better than the while_loop, the [TB, S]
+    prev-assignment carry adds per-iteration compare/copy work, and one
+    unstable row (low |h| draws exist in every 1024-row batch) keeps its
+    whole tile iterating.  Default OFF; kept for future hardware
+    re-evaluation (benchmarks/RESULTS.md negative-results section).
+    """
     if anchor not in ("max", "first"):
         raise ValueError(f"anchor must be 'max' or 'first', got {anchor!r}")
     sr = tuple(float(v) for v in tables.points_re)
@@ -185,7 +234,8 @@ def make_blind_estimator_pallas(tables, iters: int = 20, anchor: str = "max"):
 
     def estimate(yr: jnp.ndarray, yi: jnp.ndarray):
         b, nsym = yr.shape
-        tb = _pick_tile_sublane(b, nsym, len(sr))
+        # +1 live tile for the early-exit prev-assignment carry
+        tb = _pick_tile_sublane(b, nsym, len(sr) + (1 if early_exit else 0))
         # Pad the batch up to a tile multiple: the grid must cover every
         # output row.  Zero rows are benign through the whole kernel (the
         # anchor lands on cluster 0 with h = 0, no division by zero) and
@@ -199,7 +249,8 @@ def make_blind_estimator_pallas(tables, iters: int = 20, anchor: str = "max"):
             yi32 = jnp.pad(yi32, pad)
         grid = (bp // tb,)
         kern = functools.partial(
-            _kmeans_kernel, sr=sr, si=si, iters=iters, anchor=anchor
+            _kmeans_kernel, sr=sr, si=si, iters=iters, anchor=anchor,
+            early_exit=early_exit,
         )
         spec_y = pl.BlockSpec((tb, nsym), lambda i: (i, 0), memory_space=pltpu.VMEM)
         spec_h = pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)

@@ -37,6 +37,31 @@ def test_pallas_kmeans_matches_jax(assets, fname, monkeypatch):
     np.testing.assert_allclose(np.asarray(h4j[1]), np.asarray(h4p[1]), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "fname", ["2bits_QPSK.txt", "6bits_64QAM_Gray.txt"]
+)
+def test_pallas_kmeans_early_exit_bit_identical(assets, fname):
+    """Early exit on stable assignments must be BIT-identical to the full
+    fixed-trip loop (round 5): the update is a deterministic function of
+    the assignment, so a repeated assignment fixes the gain forever —
+    exiting early skips only no-op iterations."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import kmldpc_tpu.detect.kmeans_pallas as kp
+
+    const = parse_constellation(str(assets / fname))
+    tables = ModemTables.from_constellation(const)
+    yr = jax.random.normal(jax.random.key(5), (16, 288))
+    yi = jax.random.normal(jax.random.key(6), (16, 288))
+    with pltpu.force_tpu_interpret_mode():
+        h_ee = kp.make_blind_estimator_pallas(tables, 20, "max",
+                                              early_exit=True)(yr, yi)
+        h_full = kp.make_blind_estimator_pallas(tables, 20, "max",
+                                                early_exit=False)(yr, yi)
+    np.testing.assert_array_equal(np.asarray(h_ee[0]), np.asarray(h_full[0]))
+    np.testing.assert_array_equal(np.asarray(h_ee[1]), np.asarray(h_full[1]))
+
+
 def test_pick_tile_minimizes_padding():
     """The fallback tile for batches no tile divides must minimize padding.
 
